@@ -44,20 +44,24 @@ def conv_nd(x, w_hwio, b=None, stride=1, padding=0, compute_dtype=None):
 
 
 def conv_transpose_nd(x, w_hwio, b=None, stride=2, torch_padding=1,
-                      compute_dtype=None):
-    """``ConvTranspose(k, stride, padding=p)`` with torch output-size
-    semantics: out = (in - 1) * stride - 2p + k. ``w_hwio`` is the equivalent
-    forward-conv kernel (already flipped), shape (*k, C_in, C_out)."""
+                      output_padding=0, compute_dtype=None):
+    """``ConvTranspose(k, stride, padding=p, output_padding=op)`` with torch
+    output-size semantics: out = (in - 1) * stride - 2p + k + op. ``w_hwio``
+    is the equivalent forward-conv kernel (already flipped), shape
+    (*k, C_in, C_out); output_padding extends the high side."""
     nsp = w_hwio.ndim - 2
     ks: Sequence[int] = w_hwio.shape[:nsp]
     strides = (stride,) * nsp if isinstance(stride, int) else tuple(stride)
     pads = ((torch_padding,) * nsp if isinstance(torch_padding, int)
             else tuple(torch_padding))
+    opads = ((output_padding,) * nsp if isinstance(output_padding, int)
+             else tuple(output_padding))
     if compute_dtype is not None:
         x, w_hwio = x.astype(compute_dtype), w_hwio.astype(compute_dtype)
     y = lax.conv_general_dilated(
         x, w_hwio, window_strides=(1,) * nsp,
-        padding=[(k - 1 - p, k - 1 - p) for k, p in zip(ks, pads)],
+        padding=[(k - 1 - p, k - 1 - p + op)
+                 for k, p, op in zip(ks, pads, opads)],
         lhs_dilation=strides,
         dimension_numbers=_dn(nsp),
     )

@@ -1,0 +1,140 @@
+"""Small flax building blocks with the reference's (torch) numerics:
+torch-default initializers, torch-semantics transposed conv, batch norm with
+torch momentum/eps.
+
+Compute dtype discipline: modules take a ``dtype`` (bf16 on TPU by default at
+the model level) while parameters stay float32 — the TPU-native replacement
+for the reference's AMP autocast/GradScaler (``train_end2end_jsrt.py:75``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from semantic_segmentation_tpu.ops.conv import conv_transpose_nd
+
+
+def torch_kaiming_uniform(scale_via_fan_in: bool = True):
+    """torch nn.Conv2d default weight init: kaiming_uniform(a=sqrt(5)) ==
+    U(-1/sqrt(fan_in), 1/sqrt(fan_in)) with fan_in = C_in * prod(kernel)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        # HWIO: fan_in = prod(spatial) * C_in
+        fan_in = math.prod(shape[:-1])
+        bound = 1.0 / math.sqrt(fan_in)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def torch_bias_uniform(fan_in: int):
+    """torch conv bias init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+
+    def init(key, shape, dtype=jnp.float32):
+        bound = 1.0 / math.sqrt(fan_in)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def pix2pix_normal_init(gain: float = 0.02):
+    """init_type='normal' of ``models_pix2pix/networks.py:84-98``."""
+    return nn.initializers.normal(stddev=gain)
+
+
+class TorchConvTranspose(nn.Module):
+    """``nn.ConvTranspose2d/3d(k, stride, padding)`` with torch output-size
+    semantics; kernel stored as the forward-equivalent (flipped) HWIO tensor."""
+    features: int
+    kernel_size: int
+    stride: int = 2
+    torch_padding: int = 0
+    output_padding: int = 0
+    use_bias: bool = True
+    ndim_spatial: int = 2
+    kernel_init: Callable = None  # type: ignore[assignment]
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        c_in = x.shape[-1]
+        kshape = (self.kernel_size,) * self.ndim_spatial + (c_in, self.features)
+        kinit = self.kernel_init or torch_kaiming_uniform()
+        kernel = self.param("kernel", kinit, kshape)
+        bias = None
+        if self.use_bias:
+            fan_in = c_in * self.kernel_size ** self.ndim_spatial
+            bias = self.param("bias", torch_bias_uniform(fan_in), (self.features,))
+        return conv_transpose_nd(x, kernel, bias, stride=self.stride,
+                                 torch_padding=self.torch_padding,
+                                 output_padding=self.output_padding,
+                                 compute_dtype=self.dtype)
+
+
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch defaults (momentum 0.1 -> flax 0.9, eps 1e-5).
+    ``use_running_average`` is threaded by the caller (train vs eval)."""
+    use_running_average: bool = True
+    dtype: Any = None
+    scale_init: Callable = nn.initializers.ones
+    bias_init: Callable = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool | None = None):
+        ura = nn.merge_param("use_running_average", self.use_running_average
+                             if use_running_average is None else use_running_average,
+                             use_running_average)
+        return nn.BatchNorm(
+            use_running_average=ura, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, scale_init=self.scale_init,
+            bias_init=self.bias_init, name="bn")(x)
+
+
+def max_pool_2x(x, ndim_spatial: int = 2):
+    """torch nn.MaxPool2d(2) / MaxPool3d(2)."""
+    win = (2,) * ndim_spatial
+    return nn.max_pool(x, window_shape=win, strides=win)
+
+
+def pad_to_match(x_small, target_spatial: Sequence[int]):
+    """The U-Net skip-concat pad (unet/unet_parts.py:59-63): pad the upsampled
+    tensor symmetrically (extra pixel goes to the high side) to the skip's
+    spatial shape. NHWC / NDHWC."""
+    pads = [(0, 0)]
+    for dim, tgt in zip(x_small.shape[1:-1], target_spatial):
+        diff = tgt - dim
+        pads.append((diff // 2, diff - diff // 2))
+    pads.append((0, 0))
+    return jnp.pad(x_small, pads)
+
+
+def upsample_bilinear_2x(x, align_corners: bool = True):
+    """torch nn.Upsample(scale_factor=2, mode='bilinear', align_corners=True).
+
+    jax.image.resize has no align_corners mode; implement align_corners=True
+    by explicit linear interpolation on the corner-aligned grid.
+    """
+    n, h, w, c = x.shape
+    out_h, out_w = 2 * h, 2 * w
+
+    def grid(in_size, out_size):
+        if in_size == 1:
+            return jnp.zeros((out_size,)), jnp.zeros((out_size,), jnp.int32), \
+                jnp.zeros((out_size,), jnp.int32)
+        pos = jnp.arange(out_size) * (in_size - 1) / (out_size - 1)
+        lo = jnp.floor(pos).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, in_size - 1)
+        return pos - lo, lo, hi
+
+    fy, y0, y1 = grid(h, out_h)
+    fx, x0, x1 = grid(w, out_w)
+    top = x[:, y0][:, :, x0] * (1 - fx)[None, None, :, None] + \
+        x[:, y0][:, :, x1] * fx[None, None, :, None]
+    bot = x[:, y1][:, :, x0] * (1 - fx)[None, None, :, None] + \
+        x[:, y1][:, :, x1] * fx[None, None, :, None]
+    return top * (1 - fy)[None, :, None, None] + bot * fy[None, :, None, None]

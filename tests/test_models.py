@@ -1,0 +1,138 @@
+"""Model structural/shape/grad tests. Param counts are asserted against
+torch-computed oracles for the same architectures (UNet 31,036,481;
+PatchGAN(basic, 2ch) 2,764,609)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from semantic_segmentation_tpu.models.pix2pix.networks import (
+    NLayerDiscriminator, ResnetGenerator, UnetGenerator)
+from semantic_segmentation_tpu.models.unet import UNet
+from semantic_segmentation_tpu.ops import nas
+from semantic_segmentation_tpu.ops.flax_layers import upsample_bilinear_2x
+
+
+def n_params(tree):
+    return sum(np.prod(x.shape) for x in jax.tree.leaves(tree))
+
+
+@pytest.fixture(scope="module")
+def unet_small():
+    model = UNet(n_channels=1, n_classes=1, dtype=jnp.float32)
+    x = jnp.zeros((2, 64, 64, 1))
+    variables = model.init(jax.random.key(0), x, train=False)
+    return model, variables
+
+
+def test_unet_param_count_matches_torch():
+    model = UNet(n_channels=1, n_classes=1, dtype=jnp.float32)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 1)),
+                           train=False)
+    assert n_params(variables["params"]) == 31036481
+
+
+def test_unet_output_shape_and_dtype(unet_small):
+    model, variables = unet_small
+    y = model.apply(variables, jnp.zeros((2, 64, 64, 1)), train=False)
+    assert y.shape == (2, 64, 64, 1)
+    assert y.dtype == jnp.float32
+
+
+def test_unet_bn_stats_update(unet_small):
+    model, variables = unet_small
+    x = jax.random.normal(jax.random.key(1), (2, 64, 64, 1))
+    _, mutated = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    before = jax.tree.leaves(variables["batch_stats"])
+    after = jax.tree.leaves(mutated["batch_stats"])
+    assert any(not np.allclose(b, a) for b, a in zip(before, after))
+
+
+def test_unet_grads_nonzero(unet_small):
+    model, variables = unet_small
+    x = jax.random.normal(jax.random.key(2), (2, 64, 64, 1))
+
+    def loss(params):
+        y, _ = model.apply({"params": params,
+                            "batch_stats": variables["batch_stats"]},
+                           x, train=True, mutable=["batch_stats"])
+        return jnp.mean(y ** 2)
+
+    g = jax.grad(loss)(variables["params"])
+    norms = [float(jnp.abs(x).max()) for x in jax.tree.leaves(g)]
+    assert max(norms) > 0
+
+
+def test_unet_bilinear_variant():
+    model = UNet(n_channels=1, n_classes=2, bilinear=True, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 1))
+    variables = model.init(jax.random.key(0), x, train=False)
+    y = model.apply(variables, x, train=False)
+    assert y.shape == (1, 64, 64, 2)
+
+
+def test_bilinear_upsample_matches_torch(rng_np):
+    import torch
+    import torch.nn.functional as F
+    x = rng_np.normal(size=(2, 7, 5, 3)).astype(np.float32)
+    ours = np.asarray(upsample_bilinear_2x(jnp.asarray(x)))
+    ref = F.interpolate(torch.tensor(x.transpose(0, 3, 1, 2)), scale_factor=2,
+                        mode="bilinear", align_corners=True)
+    np.testing.assert_allclose(ours, ref.numpy().transpose(0, 2, 3, 1),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def generator_small():
+    """unet_256 generator at 256^2 is expensive on 1-core CPU; exercise the
+    full 8-down structure at the native 256 resolution once."""
+    model = UnetGenerator(output_nc=1, num_downs=8, ngf=8, dtype=jnp.float32)
+    arch = nas.init_arch_params(jax.random.key(0))["upconv"]
+    x = jnp.zeros((2, 256, 256, 1))
+    variables = model.init({"params": jax.random.key(0)}, x, arch, train=False)
+    return model, variables, arch
+
+
+def test_unet_generator_shapes(generator_small):
+    model, variables, arch = generator_small
+    x = jax.random.normal(jax.random.key(1), (2, 256, 256, 1))
+    y = model.apply(variables, x, arch, train=False)
+    assert y.shape == (2, 256, 256, 1)
+    assert float(jnp.max(jnp.abs(y))) <= 1.0  # tanh head
+
+
+def test_unet_generator_train_mode_needs_dropout_rng(generator_small):
+    model, variables, arch = generator_small
+    x = jax.random.normal(jax.random.key(1), (2, 256, 256, 1))
+    y, _ = model.apply(variables, x, arch, train=True,
+                       rngs={"dropout": jax.random.key(3)},
+                       mutable=["batch_stats"])
+    assert y.shape == (2, 256, 256, 1)
+
+
+def test_unet_generator_arch_gradient_flows(generator_small):
+    model, variables, arch = generator_small
+    x = jax.random.normal(jax.random.key(1), (1, 256, 256, 1))
+
+    def loss(a):
+        return jnp.mean(model.apply(variables, x, a, train=False) ** 2)
+
+    g = jax.grad(loss)(arch)
+    assert float(jnp.abs(g).max()) > 0
+
+
+def test_patchgan_shape_and_params():
+    model = NLayerDiscriminator(ndf=64, dtype=jnp.float32)
+    x = jnp.zeros((2, 256, 256, 2))
+    variables = model.init(jax.random.key(0), x, train=False)
+    y = model.apply(variables, x, train=False)
+    assert y.shape == (2, 30, 30, 1)  # 70x70 patchGAN logit map
+    assert n_params(variables["params"]) == 2764609
+
+
+def test_resnet_generator_shape():
+    model = ResnetGenerator(output_nc=1, ngf=8, n_blocks=2, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 1))
+    variables = model.init(jax.random.key(0), x, train=False)
+    y = model.apply(variables, x, train=False)
+    assert y.shape == (1, 64, 64, 1)
