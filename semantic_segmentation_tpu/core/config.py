@@ -1,0 +1,172 @@
+"""Configuration system: one typed dataclass tree + CLI overrides.
+
+Replaces the reference's four coexisting config systems (SURVEY.md §5): the
+two-stage argparse ``options/`` package, the yacs Swin config, BBDM's
+YAML->namespace, and the hydra tree — with a single source of truth whose
+defaults reproduce the reference's canonical flag sets
+(``scripts/train_end2end_jsrt.sh`` etc.).
+
+CLI: ``--section.field=value`` overrides any leaf (parsed with the field's
+type); ``--preset=name`` applies a named preset first.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field, fields, is_dataclass
+from typing import Any
+
+
+@dataclass
+class DataConfig:
+    """Dataset locations and regime (train_end2end_jsrt.py:78-97)."""
+    dataroot: str = "../data/JSRT"
+    dataset: str = "jsrt"            # jsrt | isic | isic224 | breast | ...
+    ood_roots: tuple = ()            # out-of-domain eval dirs
+    mask_suffix: str = ""            # SZ uses '_mask', PH2 '_lesion'
+    image_size: int = 256
+    n_train: int = 7
+    n_val: int = 2
+    n_test: int = 72
+    batch_size: int = 2
+    synthetic: bool = False          # synthetic data (tests/bench)
+
+
+@dataclass
+class ModelConfig:
+    """Generator/discriminator/segnet choices (options/base_options.py:28-38,
+    train_end2end_jsrt.py:61-64)."""
+    seg_model: str = "unet"          # unet | deeplab | vit(swin) | unet3d
+    netG: str = "unet_256"
+    netD: str = "basic"
+    ngf: int = 64
+    ndf: int = 64
+    n_layers_D: int = 3
+    norm: str = "batch"
+    no_dropout: bool = False
+    input_nc: int = 1
+    output_nc: int = 1
+    classes: int = 1
+    bilinear: bool = False
+    compute_dtype: str = "bfloat16"  # AMP analogue; 'float32' to disable
+
+
+@dataclass
+class OptimConfig:
+    """Learning rates & optimizer settings (scripts/train_end2end_jsrt.sh,
+    train_options.py:26-33, pix2pix_model.py:75-82,
+    train_end2end_jsrt.py:70-73, :324)."""
+    lr: float = 2e-6                 # G/D Adam lr (end2end); pretrain 2e-5
+    beta1: float = 0.5
+    arch_lr: float = 1e-6
+    arch_weight_decay: float = 1e-5  # end2end arch Adam (jsrt:324)
+    unet_lr: float = 1e-4            # RMSprop
+    unet_weight_decay: float = 1e-8
+    unet_momentum: float = 0.9
+    gan_mode: str = "vanilla"        # pix2pix default (pix2pix_model.py:36)
+    lambda_L1: float = 100.0
+    loss_lambda: float = 1.0         # weight of fake-image seg loss
+    lr_policy: str = "linear"
+    n_epochs_decay: int = 100
+    lr_decay_iters: int = 50
+    plateau_patience: int = 5        # ReduceLROnPlateau(max, patience=5)
+    plateau_factor: float = 0.1
+
+
+@dataclass
+class EngineConfig:
+    """Bilevel engine settings (train_end2end_jsrt.py:289-295)."""
+    train_iters: int = 5000
+    unroll_steps: int = 1
+    valid_step: int = 10             # display_freq * unroll_steps
+    roll_back: bool = True
+    hypergrad: str = "darts"         # darts (reference parity) | unroll (exact)
+    darts_epsilon: float = 0.01      # finite-difference r / ||v||
+    detach_fakes: bool = True        # reference detaches G(fakes) in unet step
+
+
+@dataclass
+class RunConfig:
+    """Checkpointing / logging / parallelism."""
+    save_dir: str = "./checkpoints"
+    name: str = "end2end-JSRT-9-unet"
+    seed: int = 0
+    log_every: int = 10
+    save_every: int = 0              # 0 = only best-val
+    wandb: bool = False
+    wandb_project: str = "end2end-JSRT"
+    profile_dir: str = ""            # jax.profiler trace dir ('' = off)
+    data_axis: int = 0               # mesh size 0 = all visible devices
+    amp: bool = True                 # kept for CLI familiarity
+
+
+@dataclass
+class Config:
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    engine: EngineConfig = field(default_factory=EngineConfig)
+    run: RunConfig = field(default_factory=RunConfig)
+
+    def to_dict(self):
+        return dataclasses.asdict(self)
+
+    def to_json(self):
+        return json.dumps(self.to_dict(), indent=2, default=str)
+
+
+PRESETS: dict[str, dict[str, Any]] = {
+    # scripts/train_end2end_jsrt.sh
+    "end2end_jsrt": {},
+    # scripts/train_pix2pix_lung.sh
+    "pix2pix_jsrt": {"optim.lr": 2e-5, "engine.train_iters": 8000,
+                     "run.name": "pix2pix-JSRT-9"},
+    # scripts/train_end2end_isic.sh: 40 labeled (32+8), 594 test, jaccard loss
+    "end2end_isic": {"data.dataset": "isic", "data.n_train": 32,
+                     "data.n_val": 8, "data.n_test": 594,
+                     "run.name": "end2end-ISIC-40-unet"},
+}
+
+
+def _set_by_path(cfg: Config, path: str, raw: str | Any):
+    obj: Any = cfg
+    parts = path.split(".")
+    for p in parts[:-1]:
+        obj = getattr(obj, p)
+    leaf = parts[-1]
+    f = {f.name: f for f in fields(obj)}[leaf]
+    if isinstance(raw, str):
+        t = f.type if isinstance(f.type, type) else type(getattr(obj, leaf))
+        if t is bool or isinstance(getattr(obj, leaf), bool):
+            value: Any = raw.lower() in ("1", "true", "yes")
+        elif t is tuple or isinstance(getattr(obj, leaf), tuple):
+            value = tuple(x for x in raw.split(",") if x)
+        else:
+            value = type(getattr(obj, leaf))(raw)
+    else:
+        value = raw
+    setattr(obj, leaf, value)
+
+
+def parse_config(argv: list[str] | None = None, preset: str | None = None) -> Config:
+    """Build a Config from ``--a.b=c`` style CLI args (and optional preset)."""
+    import sys
+    argv = list(sys.argv[1:] if argv is None else argv)
+    cfg = Config()
+    # preset can come positionally via --preset=
+    rest = []
+    for a in argv:
+        if a.startswith("--preset="):
+            preset = a.split("=", 1)[1]
+        else:
+            rest.append(a)
+    if preset:
+        for k, v in PRESETS[preset].items():
+            _set_by_path(cfg, k, v)
+    for a in rest:
+        if not a.startswith("--") or "=" not in a:
+            raise SystemExit(f"unrecognized argument {a!r}; use --a.b=c")
+        k, v = a[2:].split("=", 1)
+        _set_by_path(cfg, k, v)
+    return cfg

@@ -232,10 +232,10 @@ def define_G(output_nc: int, netG: str = "unet_256", ngf: int = 64,
              norm: str = "batch", use_dropout: bool = True,
              dtype: Any = jnp.bfloat16):
     """Generator factory (networks.py:125-165)."""
-    if netG == "unet_256":
-        return UnetGenerator(output_nc, 8, ngf, use_dropout, norm, dtype)
-    if netG == "unet_128":
-        return UnetGenerator(output_nc, 7, ngf, use_dropout, norm, dtype)
+    if netG.startswith("unet_"):
+        # unet_256 -> 8 downs, unet_128 -> 7, unet_64 -> 6 (small tests)
+        num_downs = {256: 8, 128: 7, 64: 6, 32: 5}[int(netG.split("_")[1])]
+        return UnetGenerator(output_nc, num_downs, ngf, use_dropout, norm, dtype)
     if netG == "resnet_9blocks":
         return ResnetGenerator(output_nc, ngf, 9, use_dropout, norm, dtype)
     if netG == "resnet_6blocks":

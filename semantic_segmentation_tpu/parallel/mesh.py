@@ -1,0 +1,48 @@
+"""Device-mesh construction and data-parallel sharding helpers.
+
+The reference scales with ``torch.nn.DataParallel`` (networks.py:117-122) and
+BBDM's NCCL DDP (BBDM/main.py:70-87). The TPU-native design (SURVEY.md §2.6):
+one `jax.sharding.Mesh` with a ``data`` axis over ICI; batches sharded on
+axis 0; parameters replicated; gradients reduced by XLA-inserted collectives
+under jit. Multi-host extends the same mesh over DCN via
+``jax.distributed.initialize`` — no sampler/rank bookkeeping.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_data_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return jax.make_mesh((n,), (axis,), devices=devs[:n])
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch, axis: str = "data"):
+    """Device-put a host batch with the leading dim sharded over ``axis``.
+    Pads are the caller's job: batch size must divide the mesh size."""
+    sh = batch_sharding(mesh, axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def pad_to_multiple(arr: np.ndarray, multiple: int):
+    """Pad axis 0 to a device-count multiple (for eval loaders whose sizes
+    don't divide the mesh); returns (padded, real_count)."""
+    n = arr.shape[0]
+    rem = (-n) % multiple
+    if rem == 0:
+        return arr, n
+    pad = np.repeat(arr[-1:], rem, axis=0)
+    return np.concatenate([arr, pad], axis=0), n

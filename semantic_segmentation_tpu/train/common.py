@@ -1,0 +1,46 @@
+"""Shared entry-point plumbing: dataset assembly and split policy."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from semantic_segmentation_tpu.core.config import Config
+from semantic_segmentation_tpu.data import (
+    SyntheticSegDataset,
+    make_dataset,
+    stack_dataset,
+    subset_split,
+)
+
+
+def load_splits(cfg: Config):
+    """Returns dict of stacked splits: train/val/test (+ ood list).
+
+    Split policy matches train_end2end_jsrt.py:82-89: first n_train, next
+    n_val, last n_test of the deterministic id ordering.
+    """
+    d = cfg.data
+    if d.synthetic:
+        n = d.n_train + d.n_val + max(d.n_test, 4)
+        ds = SyntheticSegDataset(n=n, size=d.image_size,
+                                 channels=cfg.model.input_nc, seed=cfg.run.seed)
+    else:
+        ds = make_dataset(d.dataset, d.dataroot, d.mask_suffix)
+    tr, va, te = subset_split(len(ds), d.n_train, d.n_val, d.n_test)
+    splits = {
+        "train": stack_dataset(ds, tr),
+        "val": stack_dataset(ds, va),
+        "test": stack_dataset(ds, te) if te else None,
+    }
+    oods = []
+    for root in d.ood_roots:
+        name, path, *suffix = root.split(":") if ":" in root else (d.dataset, root)
+        ood_ds = make_dataset(name, path, suffix[0] if suffix else "")
+        oods.append((name, stack_dataset(ood_ds)))
+    splits["ood"] = oods
+    return splits
+
+
+def as_float_images(batch: dict) -> dict:
+    return {k: v.astype(np.float32) if k.startswith("image") else v
+            for k, v in batch.items()}

@@ -1,0 +1,92 @@
+"""Stage-1 Pix2Pix pre-training — parity with
+``running_files/train_pix2pix_lung.py:30-104`` (epoch loop of
+``optimize_parameters``; periodic G/D checkpoint; wandb visuals become
+metric logs + saved sample grids).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from semantic_segmentation_tpu.core.config import Config, parse_config
+from semantic_segmentation_tpu.core.logging_utils import MetricsLogger
+from semantic_segmentation_tpu.data.pipeline import batch_iterator
+from semantic_segmentation_tpu.models.pix2pix.model import Pix2Pix
+from semantic_segmentation_tpu.train.common import load_splits
+from semantic_segmentation_tpu.utils.serialization import load_pytree, save_pytree
+
+
+def build_pix2pix(cfg: Config, lr: float | None = None) -> Pix2Pix:
+    dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
+    return Pix2Pix(
+        input_nc=cfg.model.input_nc, output_nc=cfg.model.output_nc,
+        ngf=cfg.model.ngf, ndf=cfg.model.ndf, netG=cfg.model.netG,
+        netD=cfg.model.netD, norm=cfg.model.norm,
+        use_dropout=not cfg.model.no_dropout, gan_mode=cfg.optim.gan_mode,
+        lambda_L1=cfg.optim.lambda_L1, lr=lr or cfg.optim.lr,
+        beta1=cfg.optim.beta1, arch_lr=cfg.optim.arch_lr,
+        compute_dtype=dtype)
+
+
+def train(cfg: Config, n_epochs: int | None = None, train_iters: int | None = None):
+    model = build_pix2pix(cfg)
+    state = model.init(jax.random.key(cfg.run.seed), cfg.data.image_size)
+    splits = load_splits(cfg)
+    save_dir = os.path.join(cfg.run.save_dir, cfg.run.name)
+    log = MetricsLogger(save_dir, cfg.run.wandb, cfg.run.wandb_project,
+                        cfg.run.name, cfg.to_dict())
+    root = jax.random.key(cfg.run.seed + 1)
+
+    step, epoch = 0, 0
+    max_iters = train_iters or cfg.engine.train_iters
+    while step < max_iters and (n_epochs is None or epoch < n_epochs):
+        rng_np = np.random.default_rng((cfg.run.seed, epoch))
+        for batch in batch_iterator(splits["train"], cfg.data.batch_size, rng_np):
+            state, metrics = model.train_step(
+                state, batch, jax.random.fold_in(root, step))
+            step += 1
+            if step % cfg.run.log_every == 0:
+                log.log(metrics, step)
+            if step >= max_iters:
+                break
+        epoch += 1
+        if cfg.run.save_every and epoch % cfg.run.save_every == 0:
+            save_model(state, save_dir)
+    save_model(state, save_dir)
+    log.close()
+    return state
+
+
+def save_model(state, save_dir: str):
+    """G/D/arch checkpoint — the ``pix2pix_generator.pkl`` /
+    ``pix2pix_discriminator.pkl`` analogue (pix2pix_model.py:168-173)."""
+    save_pytree({"g_params": state.g_params, "g_stats": state.g_stats,
+                 "arch": state.arch},
+                os.path.join(save_dir, "pix2pix_generator.msgpack"))
+    save_pytree({"d_params": state.d_params, "d_stats": state.d_stats},
+                os.path.join(save_dir, "pix2pix_discriminator.msgpack"))
+
+
+def load_model(state, save_dir: str):
+    """pix2pix_model.py:174-178 load_model equivalent."""
+    g = load_pytree({"g_params": state.g_params, "g_stats": state.g_stats,
+                     "arch": state.arch},
+                    os.path.join(save_dir, "pix2pix_generator.msgpack"))
+    d = load_pytree({"d_params": state.d_params, "d_stats": state.d_stats},
+                    os.path.join(save_dir, "pix2pix_discriminator.msgpack"))
+    return state.replace(g_params=g["g_params"], g_stats=g["g_stats"],
+                         arch=g["arch"], d_params=d["d_params"],
+                         d_stats=d["d_stats"])
+
+
+def main():
+    cfg = parse_config(preset="pix2pix_jsrt")
+    train(cfg)
+
+
+if __name__ == "__main__":
+    main()

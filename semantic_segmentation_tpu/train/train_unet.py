@@ -1,0 +1,94 @@
+"""Supervised segmentation training — the minimum end-to-end slice
+(SURVEY.md §7 step 3): k-shot training + Dice eval + plateau LR + best-val
+checkpointing, all on one chip (or a data mesh).
+
+Usage: python -m semantic_segmentation_tpu.train.train_unet --data.synthetic=true
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+from semantic_segmentation_tpu.core.config import Config, parse_config
+from semantic_segmentation_tpu.core.checkpoint import CheckpointManager
+from semantic_segmentation_tpu.core.logging_utils import MetricsLogger
+from semantic_segmentation_tpu.core.optim import PlateauTracker, set_learning_rate
+from semantic_segmentation_tpu.data.pipeline import batch_iterator, eval_batches
+from semantic_segmentation_tpu.models.seg import SegProblem
+from semantic_segmentation_tpu.ops.metrics import eval_batch_dice
+from semantic_segmentation_tpu.train.common import load_splits
+
+import jax.numpy as jnp
+
+
+def evaluate_split(problem: SegProblem, state, data, batch_size, n_classes):
+    total, count = 0.0, 0
+    for b in eval_batches(data, batch_size):
+        logits = problem.eval_logits(state, b["image"])
+        total += float(eval_batch_dice(logits, b["mask"], n_classes))
+        count += 1
+    return total / max(count, 1)
+
+
+def train(cfg: Config, train_iters: int | None = None):
+    dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
+    problem = SegProblem(cfg.model.seg_model, cfg.model.output_nc,
+                         cfg.model.classes, lr=cfg.optim.unet_lr,
+                         compute_dtype=dtype, bilinear=cfg.model.bilinear)
+    state = problem.init(jax.random.key(cfg.run.seed), cfg.data.image_size)
+    splits = load_splits(cfg)
+    log = MetricsLogger(os.path.join(cfg.run.save_dir, cfg.run.name),
+                        cfg.run.wandb, cfg.run.wandb_project, cfg.run.name,
+                        cfg.to_dict())
+    ckpt = CheckpointManager(os.path.join(cfg.run.save_dir, cfg.run.name, "ckpt"))
+    plateau = PlateauTracker(cfg.optim.unet_lr,
+                             patience=cfg.optim.plateau_patience)
+
+    iters = train_iters or cfg.engine.train_iters
+    best_val, step, epoch = 0.0, 0, 0
+    while step < iters:
+        rng = np.random.default_rng((cfg.run.seed, epoch))
+        for batch in batch_iterator(splits["train"], cfg.data.batch_size, rng):
+            state, metrics = problem.train_step(state, batch)
+            step += 1
+            if step % cfg.engine.valid_step == 0:
+                val = evaluate_split(problem, state, splits["val"],
+                                     cfg.data.batch_size, cfg.model.classes)
+                if val > best_val:
+                    best_val = val
+                    ckpt.save(step, jax.device_get(state),
+                              {"val_score": val}, force=True)
+                lr = plateau.step(best_val)
+                set_learning_rate(state.opt, lr)
+                log.log({"loss": metrics["loss"], "val_score": val,
+                         "best_val": best_val, "lr": lr}, step)
+            if step >= iters:
+                break
+        epoch += 1
+
+    results = {"best_val": best_val}
+    if splits["test"] is not None:
+        results["test_dice"] = evaluate_split(problem, state, splits["test"],
+                                              cfg.data.batch_size,
+                                              cfg.model.classes)
+    for name, data in splits["ood"]:
+        results[f"ood_{name}"] = evaluate_split(problem, state, data,
+                                                cfg.data.batch_size,
+                                                cfg.model.classes)
+    log.log(results, step)
+    log.info("final: %s", results)
+    ckpt.wait()
+    log.close()
+    return state, results
+
+
+def main():
+    cfg = parse_config()
+    train(cfg)
+
+
+if __name__ == "__main__":
+    main()
