@@ -49,6 +49,7 @@ class ModelConfig:
     output_nc: int = 1
     classes: int = 1
     bilinear: bool = False
+    base_features: int = 64          # U-Net width (64 = reference)
     compute_dtype: str = "bfloat16"  # AMP analogue; 'float32' to disable
 
 
@@ -81,9 +82,10 @@ class EngineConfig:
     unroll_steps: int = 1
     valid_step: int = 10             # display_freq * unroll_steps
     roll_back: bool = True
-    hypergrad: str = "darts"         # darts (reference parity) | unroll (exact)
+    hypergrad: str = "darts"         # darts (reference parity) | unroll (exact) | none
     darts_epsilon: float = 0.01      # finite-difference r / ||v||
     detach_fakes: bool = True        # reference detaches G(fakes) in unet step
+    fake_postprocess: str = "uint8_chain"  # uint8_chain (parity) | minmax (differentiable)
 
 
 @dataclass
@@ -91,6 +93,7 @@ class RunConfig:
     """Checkpointing / logging / parallelism."""
     save_dir: str = "./checkpoints"
     name: str = "end2end-JSRT-9-unet"
+    pretrained_pix2pix: str = ""     # stage-1 G/D checkpoint dir ('' = fresh)
     seed: int = 0
     log_every: int = 10
     save_every: int = 0              # 0 = only best-val

@@ -1,0 +1,248 @@
+"""Native multilevel (bilevel) optimization engine — the JAX replacement for
+the external Betty framework (SURVEY.md §7 step 5, the reference's L1 layer).
+
+The reference wires four ``betty.problems.ImplicitProblem``s — Generator,
+Discriminator, Unet (inner) and Arch (outer) — into ``betty.engine.Engine``
+with ``Config(type='darts', unroll_steps)`` and ``EngineConfig(roll_back=
+True)`` (``running_files/train_end2end_jsrt.py:289-342``). Here the whole
+engine iteration is ONE pure jitted function over explicit state pytrees:
+
+  1. unroll ``K = unroll_steps`` inner steps (each inner problem takes one
+     optimizer step per unroll step, in problem order, on its own batch
+     stream — Betty gives every problem its own shuffled DataLoader);
+  2. compute the architecture hypergradient, either
+       - ``darts``: Betty's finite-difference approximation
+         (betty/hypergradient/darts.py semantics): for each (outer, inner)
+         edge, v = dL_val/dw_inner at the unrolled state, w± = w ± r/||v|| v,
+         hypergrad = dL_val/da  -  lr_inner * (dL_train(w+, a) -
+         dL_train(w-, a)) / (2 eps); or
+       - ``unroll``: the exact gradient of the validation loss through the
+         unrolled inner optimizer steps (`jax.grad` over `lax.scan`) — a
+         capability torch/Betty approximates, natural under XLA;
+  3. Adam step on the arch variables;
+  4. ``roll_back=True``: restore inner state to the pre-unroll snapshot and
+     re-run the K inner steps under the updated architecture (Betty restores
+     cached module/optimizer states after the outer step).
+
+Betty's module-attribute injection (``self.netG``/``self.unet``) becomes
+explicit: every problem's loss closure receives the full EngineState.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Sequence
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@flax.struct.dataclass
+class EngineState:
+    params: dict[str, Any]     # per inner problem
+    stats: dict[str, Any]      # batch-norm state per inner problem
+    opts: dict[str, Any]       # optimizer state per inner problem
+    arch: Any                  # outer variables (pytree)
+    opt_arch: Any
+    step: jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class InnerProblem:
+    """One inner level. ``loss(own_params, state, arch, batch, rng) ->
+    (loss, stats_updates)`` where stats_updates maps problem name -> new
+    batch-stats (a problem's loss may run other problems' nets in train mode
+    and must surface their stat mutations, like torch train() forwards do)."""
+    name: str
+    loss: Callable[..., tuple[jnp.ndarray, dict[str, Any]]]
+    tx: optax.GradientTransformation
+    lr: float  # inner learning rate, used by the darts finite difference
+
+
+class BilevelEngine:
+    def __init__(self, problems: Sequence[InnerProblem],
+                 outer_loss: Callable[[EngineState, Any, Any], jnp.ndarray],
+                 arch_tx: optax.GradientTransformation,
+                 unroll_steps: int = 1, roll_back: bool = True,
+                 hypergrad: str = "darts", darts_epsilon: float = 0.01,
+                 arch_children: Sequence[str] = ("netG",)):
+        self.problems = tuple(problems)
+        self.outer_loss = outer_loss
+        self.arch_tx = arch_tx
+        self.unroll_steps = unroll_steps
+        self.roll_back = roll_back
+        self.hypergrad = hypergrad
+        self.darts_epsilon = darts_epsilon
+        self.arch_children = tuple(arch_children)
+        assert hypergrad in ("darts", "unroll", "none")
+
+    # ------------------------------------------------------------------
+    def init(self, params, stats, opts, arch) -> EngineState:
+        return EngineState(params=params, stats=stats, opts=opts, arch=arch,
+                           opt_arch=self.arch_tx.init(arch),
+                           step=jnp.zeros((), jnp.int32))
+
+    # ------------------------------------------------------------------
+    def inner_step(self, state: EngineState, arch, batches: dict, rng):
+        """One optimizer step of every inner problem, in order. ``batches``
+        maps problem name -> that problem's batch."""
+        metrics = {}
+        for i, p in enumerate(self.problems):
+            rng_p = jax.random.fold_in(rng, i)
+            (loss, stats_updates), grads = jax.value_and_grad(
+                p.loss, has_aux=True)(state.params[p.name], state, arch,
+                                      batches[p.name], rng_p)
+            updates, new_opt = p.tx.update(grads, state.opts[p.name],
+                                           state.params[p.name])
+            new_params = optax.apply_updates(state.params[p.name], updates)
+            state = state.replace(
+                params={**state.params, p.name: new_params},
+                opts={**state.opts, p.name: new_opt},
+                stats={**state.stats, **stats_updates},
+            )
+            metrics[f"loss_{p.name}"] = loss
+        return state, metrics
+
+    def _unroll(self, state: EngineState, arch, batch_stack, rng):
+        """K inner steps via scan. ``batch_stack``: name -> arrays with a
+        leading K axis."""
+        K = self.unroll_steps
+
+        def body(st, xs):
+            b, r = xs
+            st, m = self.inner_step(st, arch, b, r)
+            return st, m
+
+        rngs = jax.random.split(rng, K)
+        state, metrics = jax.lax.scan(body, state, (batch_stack, rngs))
+        return state, jax.tree.map(lambda x: x[-1], metrics)
+
+    # ------------------------------------------------------------------
+    def _darts_hypergrad(self, state0: EngineState, stateK: EngineState,
+                         batch_stack, val_batch, rng):
+        """Betty darts: finite-difference implicit term through each
+        (arch -> child) edge + the direct term."""
+        arch = stateK.arch
+
+        # direct term + v = dL_val/dw_child at the unrolled state
+        def val_loss_wrt(arch_, child_params):
+            st = stateK.replace(params={**stateK.params, **child_params})
+            return self.outer_loss(st, arch_, val_batch)
+
+        child_params = {c: stateK.params[c] for c in self.arch_children}
+        (_, (g_arch_direct, v)) = (None, jax.grad(
+            val_loss_wrt, argnums=(0, 1))(arch, child_params))
+
+        hg = g_arch_direct
+        last_batches = jax.tree.map(lambda x: x[-1], batch_stack)
+        for p in self.problems:
+            if p.name not in self.arch_children:
+                continue
+            vp = v[p.name]
+            v_norm = optax.global_norm(vp)
+            eps = self.darts_epsilon / (v_norm + 1e-12)
+
+            def train_arch_grad(sign):
+                shifted = jax.tree.map(lambda w, g: w + sign * eps * g,
+                                       stateK.params[p.name], vp)
+
+                def lt(a):
+                    st = stateK.replace(
+                        params={**stateK.params, p.name: shifted})
+                    loss, _ = p.loss(shifted, st, a, last_batches[p.name],
+                                     rng)
+                    return loss
+
+                return jax.grad(lt)(arch)
+
+            g_plus = train_arch_grad(+1.0)
+            g_minus = train_arch_grad(-1.0)
+            hg = jax.tree.map(
+                lambda h, gp, gm: h - p.lr * (gp - gm) / (2.0 * eps),
+                hg, g_plus, g_minus)
+        return hg
+
+    def _surrogate_unroll(self, state0: EngineState, arch, batch_stack, rng):
+        """K inner steps with SGD surrogates w' = w - lr * grad — the DARTS
+        w' formulation generalized to K steps. Differentiating through the
+        real adaptive optimizers (RMSprop/Adam) is ill-posed at zero second
+        moments (d sqrt(nu)/d nu -> inf), so the hypergradient path uses the
+        surrogate trajectory while the actual training trajectory keeps the
+        real optimizers."""
+        K = self.unroll_steps
+
+        def body(carry, xs):
+            params, stats = carry
+            b, r = xs
+            for i, p in enumerate(self.problems):
+                st = state0.replace(params=params, stats=stats)
+                (_, stats_updates), grads = jax.value_and_grad(
+                    p.loss, has_aux=True)(params[p.name], st, arch, b[p.name],
+                                          jax.random.fold_in(r, i))
+                new_params = jax.tree.map(lambda w, g: w - p.lr * g,
+                                          params[p.name], grads)
+                params = {**params, p.name: new_params}
+                stats = {**stats, **stats_updates}
+            return (params, stats), None
+
+        rngs = jax.random.split(rng, K)
+        (params, stats), _ = jax.lax.scan(body, (state0.params, state0.stats),
+                                          (batch_stack, rngs))
+        return state0.replace(params=params, stats=stats)
+
+    def _unroll_hypergrad(self, state0: EngineState, batch_stack, val_batch,
+                          rng):
+        """Exact gradient of the validation loss through K surrogate inner
+        steps (see _surrogate_unroll)."""
+
+        def outer(arch):
+            stK = self._surrogate_unroll(state0, arch, batch_stack, rng)
+            return self.outer_loss(stK, arch, val_batch)
+
+        return jax.grad(outer)(state0.arch)
+
+    # ------------------------------------------------------------------
+    @partial(jax.jit, static_argnames=("self",))
+    def engine_step(self, state: EngineState, batch_stack: dict, val_batch,
+                    rng):
+        """One full engine iteration (unroll + arch step + rollback/replay).
+
+        batch_stack: problem name -> pytree with leading axis K =
+        unroll_steps (each problem's independent batch stream).
+        """
+        rng_u, rng_h, rng_r = jax.random.split(rng, 3)
+        snapshot = (state.params, state.stats, state.opts)
+
+        stateK, inner_metrics = self._unroll(state, state.arch, batch_stack,
+                                             rng_u)
+
+        metrics = dict(inner_metrics)
+        if self.hypergrad == "none":
+            state = stateK.replace(step=state.step + 1)
+            return state, metrics
+
+        if self.hypergrad == "darts":
+            hg = self._darts_hypergrad(state, stateK, batch_stack, val_batch,
+                                       rng_h)
+        else:
+            hg = self._unroll_hypergrad(state, batch_stack, val_batch, rng_h)
+
+        updates, opt_arch = self.arch_tx.update(hg, stateK.opt_arch,
+                                                stateK.arch)
+        new_arch = optax.apply_updates(stateK.arch, updates)
+        metrics["arch_grad_norm"] = optax.global_norm(hg)
+        metrics["outer_loss"] = self.outer_loss(stateK, stateK.arch, val_batch)
+
+        if self.roll_back:
+            params, stats, opts = snapshot
+            state = state.replace(params=params, stats=stats, opts=opts,
+                                  arch=new_arch, opt_arch=opt_arch)
+            state, replay_metrics = self._unroll(state, new_arch, batch_stack,
+                                                 rng_r)
+            metrics.update({f"replay_{k}": v for k, v in replay_metrics.items()})
+        else:
+            state = stateK.replace(arch=new_arch, opt_arch=opt_arch)
+        return state.replace(step=state.step + 1), metrics

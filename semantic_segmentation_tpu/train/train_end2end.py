@@ -1,0 +1,251 @@
+"""End-to-end GenSeg training: the flagship entry point, parity with
+``running_files/train_end2end_jsrt.py`` (and the ISIC variant via config).
+
+The four Betty problems become loss closures over one EngineState:
+
+- netG (:142-154): GAN(D(mask, G(mask)), True) + lambda_L1 * L1.
+- netD (:158-172): 0.5 * (fake + real) GAN loss, fake detached.
+- unet (:177-226) — THE hot loop, fully fused on device: real loss (BCE/CE +
+  Dice or Jaccard) + loss_lambda * fake loss, where the fake branch is
+  augment(mask) -> threshold 0.1 -> G -> min-max -> uint8 -> equalize ->
+  gamma(0.5) -> /255 -> segnet. The reference's CPU imgaug round-trip and
+  torchvision uint8 ops (:186-200) are the on-device kernels of
+  ops/augment.py + ops/image.py.
+- arch (outer, :229-236): unet's val loss, optimized through the engine's
+  darts/unroll hypergradient with roll_back (:289-295).
+
+Validation (:241-255): val Dice every ``valid_step``; best-val checkpoint;
+ReduceLROnPlateau on the unet lr every len(train_set) steps.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from semantic_segmentation_tpu.core.checkpoint import CheckpointManager
+from semantic_segmentation_tpu.core.config import Config, parse_config
+from semantic_segmentation_tpu.core.logging_utils import MetricsLogger
+from semantic_segmentation_tpu.core.optim import (PlateauTracker, adam_torch,
+                                                  set_learning_rate)
+from semantic_segmentation_tpu.data.pipeline import epoch_batches, eval_batches
+from semantic_segmentation_tpu.engine.bilevel import BilevelEngine, InnerProblem
+from semantic_segmentation_tpu.models.pix2pix.model import Pix2Pix
+from semantic_segmentation_tpu.models.seg import SegProblem, seg_loss_fn
+from semantic_segmentation_tpu.ops import image as iops
+from semantic_segmentation_tpu.ops.augment import random_augment_batch
+from semantic_segmentation_tpu.ops.losses import gan_loss, l1_loss
+from semantic_segmentation_tpu.ops.metrics import eval_batch_dice
+from semantic_segmentation_tpu.train.common import load_splits
+from semantic_segmentation_tpu.train.train_pix2pix import build_pix2pix, load_model
+
+
+def build_problems(cfg: Config, p2p: Pix2Pix, seg: SegProblem):
+    """The four GenSeg problems as engine closures."""
+    gan_mode, lambda_L1 = cfg.optim.gan_mode, cfg.optim.lambda_L1
+    loss_lambda = cfg.optim.loss_lambda
+    detach = cfg.engine.detach_fakes
+    uint8_chain = cfg.engine.fake_postprocess == "uint8_chain"
+
+    def g_forward(state, arch, mask, rng, g_params=None):
+        fake, g_stats = p2p.g_apply(
+            g_params if g_params is not None else state.params["netG"],
+            state.stats["netG"], mask, arch["upconv"], True, rng)
+        return fake, g_stats
+
+    def loss_netG(g_params, state, arch, batch, rng):
+        mask = batch["mask_pix2pix"].astype(jnp.float32)
+        image = batch["image_pix2pix"].astype(jnp.float32)
+        fake, g_stats = g_forward(state, arch, mask, rng, g_params)
+        pred_fake, d_stats = p2p.d_apply(state.params["netD"],
+                                         state.stats["netD"],
+                                         jnp.concatenate([mask, fake], -1),
+                                         True)
+        loss = gan_loss(pred_fake, True, gan_mode) + \
+            lambda_L1 * l1_loss(fake, image)
+        return loss, {"netG": g_stats, "netD": d_stats}
+
+    def loss_netD(d_params, state, arch, batch, rng):
+        mask = batch["mask_pix2pix"].astype(jnp.float32)
+        image = batch["image_pix2pix"].astype(jnp.float32)
+        fake, g_stats = g_forward(state, arch, mask, rng)
+        fake = jax.lax.stop_gradient(fake)
+        pred_fake, d_stats = p2p.d_apply(d_params, state.stats["netD"],
+                                         jnp.concatenate([mask, fake], -1),
+                                         True)
+        pred_real, d_stats = p2p.d_apply(d_params, d_stats,
+                                         jnp.concatenate([mask, image], -1),
+                                         True)
+        loss = 0.5 * (gan_loss(pred_fake, False, gan_mode) +
+                      gan_loss(pred_real, True, gan_mode))
+        return loss, {"netG": g_stats, "netD": d_stats}
+
+    def loss_unet(u_params, state, arch, batch, rng):
+        rng_aug, rng_drop = jax.random.split(rng)
+        images = batch["image"].astype(jnp.float32)
+        masks = batch["mask"].astype(jnp.float32)
+
+        # real branch (train_end2end_jsrt.py:181-183)
+        logits, u_stats = seg.apply(u_params, state.stats["unet"], images,
+                                    train=True)
+        loss = seg_loss_fn(logits, masks, seg.n_classes, seg.loss_type)
+
+        # fake branch (:186-204), fully on device
+        aug = random_augment_batch(rng_aug, masks)
+        fake_mask = iops.threshold_mask(aug, 0.1)
+        fake_image, g_stats = p2p.g_apply(state.params["netG"],
+                                          state.stats["netG"], fake_mask,
+                                          arch["upconv"], True, rng_drop)
+        if detach:
+            fake_image = jax.lax.stop_gradient(fake_image)
+        if uint8_chain:
+            fake_image = iops.equalize_gamma_chain(fake_image, 0.5)
+        else:
+            fake_image = iops.minmax_normalize(fake_image)
+        fake_logits, u_stats = seg.apply(u_params, u_stats, fake_image,
+                                         train=True)
+        fake_loss = seg_loss_fn(fake_logits, fake_mask, seg.n_classes,
+                                seg.loss_type)
+        return loss + loss_lambda * fake_loss, {"unet": u_stats,
+                                                "netG": g_stats}
+
+    def outer_loss(state, arch, val_batch):
+        """Arch problem (:229-236): unet's val loss, train-mode forward
+        (batch statistics), stats discarded."""
+        images = val_batch["image"].astype(jnp.float32)
+        masks = val_batch["mask"].astype(jnp.float32)
+        logits, _ = seg.apply(state.params["unet"], state.stats["unet"],
+                              images, train=True)
+        return seg_loss_fn(logits, masks, seg.n_classes, seg.loss_type)
+
+    problems = [
+        InnerProblem("netG", loss_netG, p2p.tx_g, cfg.optim.lr),
+        InnerProblem("netD", loss_netD, p2p.tx_d, cfg.optim.lr),
+        InnerProblem("unet", loss_unet, seg.tx, cfg.optim.unet_lr),
+    ]
+    return problems, outer_loss
+
+
+def build_engine_and_state(cfg: Config, rng):
+    """Construct models, problems, engine, and the initial EngineState."""
+    dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
+    p2p = build_pix2pix(cfg)
+    kw = ({"bilinear": cfg.model.bilinear,
+           "base_features": cfg.model.base_features}
+          if cfg.model.seg_model == "unet" else {})
+    seg = SegProblem(cfg.model.seg_model, cfg.model.output_nc,
+                     cfg.model.classes, lr=cfg.optim.unet_lr,
+                     loss_type="jaccard" if cfg.data.dataset.startswith("isic")
+                     else "dice",
+                     compute_dtype=dtype, **kw)
+    k1, k2 = jax.random.split(rng)
+    p2p_state = p2p.init(k1, cfg.data.image_size)
+    if cfg.run.pretrained_pix2pix:
+        p2p_state = load_model(p2p_state, cfg.run.pretrained_pix2pix)
+    seg_state = seg.init(k2, cfg.data.image_size)
+
+    problems, outer_loss = build_problems(cfg, p2p, seg)
+    # end2end arch optimizer: Adam(arch_lr, (0.5, 0.999), wd=1e-5)
+    # (train_end2end_jsrt.py:324)
+    arch_tx = adam_torch(cfg.optim.arch_lr, 0.5,
+                         weight_decay=cfg.optim.arch_weight_decay)
+    engine = BilevelEngine(problems, outer_loss, arch_tx,
+                           unroll_steps=cfg.engine.unroll_steps,
+                           roll_back=cfg.engine.roll_back,
+                           hypergrad=cfg.engine.hypergrad,
+                           darts_epsilon=cfg.engine.darts_epsilon)
+    state = engine.init(
+        params={"netG": p2p_state.g_params, "netD": p2p_state.d_params,
+                "unet": seg_state.params},
+        stats={"netG": p2p_state.g_stats, "netD": p2p_state.d_stats,
+               "unet": seg_state.stats},
+        opts={"netG": p2p_state.opt_g, "netD": p2p_state.opt_d,
+              "unet": seg_state.opt},
+        arch=p2p_state.arch)
+    return engine, state, p2p, seg
+
+
+def _stack_k(batches):
+    return jax.tree.map(lambda *xs: np.stack(xs), *batches) if len(batches) > 1 \
+        else jax.tree.map(lambda x: x[None], batches[0])
+
+
+def evaluate_seg(seg: SegProblem, params, stats, data, batch_size, n_classes):
+    total, count = 0.0, 0
+    for b in eval_batches(data, batch_size):
+        logits, _ = seg.apply(params, stats, b["image"].astype(np.float32),
+                              train=False)
+        total += float(eval_batch_dice(logits, b["mask"], n_classes))
+        count += 1
+    return total / max(count, 1)
+
+
+def train(cfg: Config, train_iters: int | None = None):
+    engine, state, p2p, seg = build_engine_and_state(
+        cfg, jax.random.key(cfg.run.seed))
+    splits = load_splits(cfg)
+    save_dir = os.path.join(cfg.run.save_dir, cfg.run.name)
+    log = MetricsLogger(save_dir, cfg.run.wandb, cfg.run.wandb_project,
+                        cfg.run.name, cfg.to_dict())
+    ckpt = CheckpointManager(os.path.join(save_dir, "ckpt"))
+    plateau = PlateauTracker(cfg.optim.unet_lr,
+                             patience=cfg.optim.plateau_patience)
+
+    K = cfg.engine.unroll_steps
+    streams = {name: epoch_batches(splits["train"], cfg.data.batch_size,
+                                   seed=cfg.run.seed * 7 + i)
+               for i, name in enumerate(("netG", "netD", "unet"))}
+    val_stream = epoch_batches(splits["val"], cfg.data.batch_size,
+                               seed=cfg.run.seed + 99)
+    root = jax.random.key(cfg.run.seed + 5)
+
+    iters = train_iters or cfg.engine.train_iters
+    n_train = len(next(iter(splits["train"].values())))
+    best_val, it = 0.0, 0
+    while it < iters:
+        batch_stack = {name: _stack_k([next(s) for _ in range(K)])
+                       for name, s in streams.items()}
+        val_batch = next(val_stream)
+        state, metrics = engine.engine_step(state, batch_stack, val_batch,
+                                            jax.random.fold_in(root, it))
+        it += 1
+        if it % cfg.engine.valid_step == 0:
+            val = evaluate_seg(seg, state.params["unet"], state.stats["unet"],
+                               splits["val"], cfg.data.batch_size,
+                               seg.n_classes)
+            if val > best_val:
+                best_val = val
+                ckpt.save(it, jax.device_get(state), {"val_score": val},
+                          force=True)
+            log.log({**{k: float(v) for k, v in metrics.items()},
+                     "val_score": val, "best_val": best_val}, it)
+        if it % max(n_train, 1) == 0:
+            lr = plateau.step(best_val)
+            set_learning_rate(state.opts["unet"], lr)
+
+    results = {"best_val": best_val}
+    if splits["test"] is not None:
+        results["test_dice"] = evaluate_seg(
+            seg, state.params["unet"], state.stats["unet"], splits["test"],
+            cfg.data.batch_size, seg.n_classes)
+    for name, data in splits["ood"]:
+        results[f"ood_{name}"] = evaluate_seg(
+            seg, state.params["unet"], state.stats["unet"], data,
+            cfg.data.batch_size, seg.n_classes)
+    log.log(results, it)
+    log.info("final: %s", results)
+    ckpt.wait()
+    log.close()
+    return state, results
+
+
+def main():
+    cfg = parse_config(preset="end2end_jsrt")
+    train(cfg)
+
+
+if __name__ == "__main__":
+    main()

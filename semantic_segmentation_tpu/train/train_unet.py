@@ -35,9 +35,12 @@ def evaluate_split(problem: SegProblem, state, data, batch_size, n_classes):
 
 def train(cfg: Config, train_iters: int | None = None):
     dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
+    kw = ({"bilinear": cfg.model.bilinear,
+           "base_features": cfg.model.base_features}
+          if cfg.model.seg_model == "unet" else {})
     problem = SegProblem(cfg.model.seg_model, cfg.model.output_nc,
                          cfg.model.classes, lr=cfg.optim.unet_lr,
-                         compute_dtype=dtype, bilinear=cfg.model.bilinear)
+                         compute_dtype=dtype, **kw)
     state = problem.init(jax.random.key(cfg.run.seed), cfg.data.image_size)
     splits = load_splits(cfg)
     log = MetricsLogger(os.path.join(cfg.run.save_dir, cfg.run.name),
