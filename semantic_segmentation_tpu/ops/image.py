@@ -82,14 +82,13 @@ def equalize_uint8(img_u8):
 
 
 def adjust_gamma_uint8(img_u8, gamma: float, gain: float = 1.0):
-    """torchvision ``adjust_gamma`` LUT: floor((256 - 1e-3) * gain *
-    (i/255)**gamma). Identical table for the PIL-image path
-    (transforms.functional.adjust_gamma on loader images) and the uint8-tensor
-    path inside the training step."""
-    i = jnp.arange(256, dtype=jnp.float32)
-    lut = jnp.floor((255.0 + 1.0 - 1e-3) * gain * (i / 255.0) ** gamma)
-    lut = jnp.clip(lut, 0, 255).astype(jnp.uint8)
-    return lut[img_u8.astype(jnp.int32)]
+    """torchvision ``adjust_gamma`` on uint8: floor((256 - 1e-3) * gain *
+    (v/255)**gamma) — identical numbers for the PIL-image LUT path (loader)
+    and the uint8-tensor path inside the training step. Computed elementwise
+    (no table gather), which is both VPU-friendlier and SPMD-clean."""
+    v = img_u8.astype(jnp.float32)
+    out = jnp.floor((255.0 + 1.0 - 1e-3) * gain * (v / 255.0) ** gamma)
+    return jnp.clip(out, 0, 255).astype(jnp.uint8)
 
 
 def equalize_gamma_chain(x, gamma: float = 0.5):
