@@ -1,0 +1,77 @@
+"""Inference/eval entry — parity with ``running_files/test_lung.py:36-74``
+(and test_isic.py): load a trained segmentation checkpoint, report mean Dice
+on the in-domain test split and each OOD dataset.
+
+Usage:
+  python -m semantic_segmentation_tpu.train.test_seg \
+      --run.name=end2end-JSRT-9-unet \
+      --data.ood_roots=nlm:../data/NLM,sz:../data/SZ:_mask
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+from semantic_segmentation_tpu.core.checkpoint import CheckpointManager
+from semantic_segmentation_tpu.core.config import Config, parse_config
+from semantic_segmentation_tpu.core.logging_utils import MetricsLogger
+from semantic_segmentation_tpu.models.seg import SegProblem
+from semantic_segmentation_tpu.train.common import load_splits
+from semantic_segmentation_tpu.train.train_unet import evaluate_split
+from semantic_segmentation_tpu.utils.serialization import load_pytree
+
+
+def run(cfg: Config, model_file: str = ""):
+    dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
+    kw = ({"bilinear": cfg.model.bilinear,
+           "base_features": cfg.model.base_features}
+          if cfg.model.seg_model == "unet" else {})
+    problem = SegProblem(cfg.model.seg_model, cfg.model.output_nc,
+                         cfg.model.classes, lr=cfg.optim.unet_lr,
+                         compute_dtype=dtype, **kw)
+    state = problem.init(jax.random.key(0), cfg.data.image_size)
+    save_dir = os.path.join(cfg.run.save_dir, cfg.run.name)
+    if model_file:
+        loaded = load_pytree({"params": state.params, "stats": state.stats},
+                             model_file)
+        state = state.replace(params=loaded["params"], stats=loaded["stats"])
+    else:
+        # best checkpoint from the orbax manager (engine or supervised runs)
+        mgr = CheckpointManager(os.path.join(save_dir, "ckpt"))
+        restored, step = mgr.restore(jax.device_get(state),
+                                     mgr.best_step() or mgr.latest_step())
+        if restored is not None and hasattr(restored, "params"):
+            if isinstance(restored.params, dict) and "unet" in restored.params:
+                state = state.replace(params=restored.params["unet"],
+                                      stats=restored.stats["unet"])
+            else:
+                state = restored
+
+    splits = load_splits(cfg)
+    log = MetricsLogger(save_dir)
+    results = {}
+    if splits["test"] is not None:
+        results["test_dice"] = evaluate_split(problem, state, splits["test"],
+                                              cfg.data.batch_size,
+                                              cfg.model.classes)
+    for name, data in splits["ood"]:
+        results[f"ood_{name}"] = evaluate_split(problem, state, data,
+                                                cfg.data.batch_size,
+                                                cfg.model.classes)
+    for k, v in results.items():
+        log.info("%s: %.5f", k, v)
+    log.log(results)
+    log.close()
+    return results
+
+
+def main():
+    cfg = parse_config()
+    run(cfg)
+
+
+if __name__ == "__main__":
+    main()
