@@ -89,6 +89,50 @@ def softmax_cross_entropy(logits, labels, axis: int = -1):
     return jnp.mean(nll)
 
 
+def softmax_cross_entropy_weighted(logits, labels, class_weights,
+                                   axis: int = -1):
+    """torch CrossEntropyLoss(weight=w): sum(w[y]*nll) / sum(w[y]) — the
+    GenSeg-3D criterion with BCE_WEIGHTS=[0.004, 0.996]
+    (GenSeg-3D/UNet3D/config.py:35, train_end2end.py:139)."""
+    logits = jnp.moveaxis(_f32(logits), axis, -1)
+    labels = labels.astype(jnp.int32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    w = jnp.asarray(class_weights, jnp.float32)[labels]
+    return jnp.sum(w * nll) / jnp.sum(w)
+
+
+def argmax_dice_score(logits, target, axis: int = -1, epsilon: float = 1e-6):
+    """GenSeg-3D's dice_score (train_end2end.py:40-54): global Dice of the
+    argmax prediction — non-differentiable by construction (the reference
+    calls .item() on it), so callers treat it as a stop-gradient scalar."""
+    pred = jnp.argmax(_f32(logits), axis=axis).astype(jnp.float32)
+    target = _f32(target)
+    inter = jnp.sum(pred * target)
+    union = jnp.sum(pred) + jnp.sum(target)
+    return jax.lax.stop_gradient((2.0 * inter + epsilon) / (union + epsilon))
+
+
+def argmax_dice_loss(logits, target, smooth: float = 1.0, axis: int = -1):
+    """train_end2end.py:56-57: (1 - dice_score) * smooth (constant wrt
+    params, reproduced faithfully)."""
+    return (1.0 - argmax_dice_score(logits, target, axis)) * smooth
+
+
+def zero_division(n, d):
+    """GenSeg-3D/util/util.py:25-26: n/d if d else 0."""
+    return jnp.where(d != 0, n / jnp.where(d != 0, d, 1.0),
+                     jnp.zeros_like(n))
+
+
+def l1_loss_sum(pred, target):
+    return jnp.sum(jnp.abs(_f32(pred) - _f32(target)))
+
+
+def mse_loss_sum(pred, target):
+    return jnp.sum(jnp.square(_f32(pred) - _f32(target)))
+
+
 def seg_criterion(logits, targets, n_classes: int):
     """BCE-with-logits for binary, CE for multi-class
     (``running_files/train_end2end_jsrt.py:136``). For the binary case the
