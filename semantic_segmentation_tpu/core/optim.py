@@ -75,27 +75,42 @@ def lr_schedule(policy: str, base_lr: float, n_epochs: int, epoch_count: int = 1
 
 @dataclass
 class PlateauTracker:
-    """ReduceLROnPlateau(mode='max', patience, factor, threshold=1e-4 rel)."""
+    """ReduceLROnPlateau(mode max|min, patience, factor, threshold=1e-4 rel)."""
     base_lr: float
     patience: int = 5
     factor: float = 0.1
     threshold: float = 1e-4
     min_lr: float = 0.0
-    best: float = float("-inf")
+    mode: str = "max"
+    cooldown: int = 0
+    best: float = 0.0
     num_bad: int = 0
+    cooldown_left: int = 0
     lr: float = 0.0
 
     def __post_init__(self):
         self.lr = self.base_lr
+        self.best = float("-inf") if self.mode == "max" else float("inf")
+
+    def _improved(self, metric: float) -> bool:
+        if self.mode == "max":
+            ref = self.best * (1.0 + self.threshold) if self.best > 0 \
+                else self.best + self.threshold
+            return metric > ref
+        ref = self.best * (1.0 - self.threshold) if self.best > 0 \
+            else self.best - self.threshold
+        return metric < ref
 
     def step(self, metric: float) -> float:
-        if metric > self.best * (1.0 + self.threshold) if self.best > 0 \
-                else metric > self.best + self.threshold:
+        if self._improved(metric):
             self.best = metric
             self.num_bad = 0
+        elif self.cooldown_left > 0:
+            self.cooldown_left -= 1
         else:
             self.num_bad += 1
         if self.num_bad > self.patience:
             self.lr = max(self.lr * self.factor, self.min_lr)
             self.num_bad = 0
+            self.cooldown_left = self.cooldown
         return self.lr

@@ -42,6 +42,8 @@ from semantic_segmentation_tpu.ops.conv import conv_nd, conv_transpose_nd
 PRIMITIVES_CONV = ("conv_421", "conv_622", "conv_823")
 PRIMITIVES_UPCONV = ("re_conv_421", "re_conv_622", "re_conv_823")
 KERNEL_SIZES = (4, 6, 8)
+# BBDM's stride-1 searchable convs (openaimodel.py:37-47): k3s1p1/k5s1p2/k7s1p3
+KERNEL_SIZES_S1 = (3, 5, 7)
 NUM_OPS = len(KERNEL_SIZES)
 
 
@@ -57,24 +59,29 @@ def init_arch_params(rng, n_conv_layers: int = 8, n_upconv_layers: int = 8,
 
 
 def _embed_kernels(kernels: Sequence[jnp.ndarray], weights: jnp.ndarray):
-    """Zero-embed k=4/6/8 kernels at the centre of an 8-tap window (per
-    spatial dim) and mix with `weights` (already softmaxed, shape (3,))."""
+    """Zero-embed the smaller candidate kernels at the centre of the largest
+    tap window (per spatial dim) and mix with `weights` (already softmaxed,
+    shape (n_ops,)). Valid whenever all kernel sizes share parity."""
     nsp = kernels[0].ndim - 2
+    kmax = kernels[-1].shape[0]
     mixed = jnp.zeros_like(kernels[-1])
     for w, k in zip(weights, kernels):
-        ksz = k.shape[0]
-        off = (8 - ksz) // 2
+        off = (kmax - k.shape[0]) // 2
         pad = [(off, off)] * nsp + [(0, 0), (0, 0)]
         mixed = mixed + w * jnp.pad(k, pad)
     return mixed
 
 
 class MixedConv(nn.Module):
-    """``Cell_conv``/``MixedOp_conv`` (networks.py:448-473): softmax-mixed
-    strided downconv, fused into one 8-tap conv."""
+    """``Cell_conv``/``MixedOp_conv`` (networks.py:448-473 and BBDM
+    openaimodel.py:65-90): softmax-mixed conv, fused into ONE conv with the
+    largest tap window. Defaults are the stride-2 down-conv family (4/6/8);
+    BBDM's stride-1 cells use kernel_sizes=(3, 5, 7), stride=1."""
     features: int
     use_bias: bool = True
     ndim_spatial: int = 2
+    kernel_sizes: tuple = KERNEL_SIZES
+    stride: int = 2
     kernel_init: nn.initializers.Initializer = nn.initializers.normal(0.02)
 
     @nn.compact
@@ -84,15 +91,16 @@ class MixedConv(nn.Module):
         kernels = [
             self.param(f"kernel_{k}", self.kernel_init,
                        (k,) * nsp + (c_in, self.features))
-            for k in KERNEL_SIZES
+            for k in self.kernel_sizes
         ]
         kmix = _embed_kernels(kernels, weights)
         bias = None
         if self.use_bias:
             biases = [self.param(f"bias_{k}", nn.initializers.zeros,
-                                 (self.features,)) for k in KERNEL_SIZES]
+                                 (self.features,)) for k in self.kernel_sizes]
             bias = sum(w * b for w, b in zip(weights, biases))
-        return conv_nd(x, kmix, bias, stride=2, padding=3,
+        pad = (max(self.kernel_sizes) - self.stride) // 2
+        return conv_nd(x, kmix, bias, stride=self.stride, padding=pad,
                        compute_dtype=compute_dtype)
 
 

