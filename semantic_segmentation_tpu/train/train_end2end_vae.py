@@ -1,0 +1,189 @@
+"""Soft-intro VAE end-to-end bilevel training — parity with
+``Soft-intro_VAE/train_end2end.py:120-392``: the 4-problem program where
+*both* the "Generator" (decoder) and "Discriminator" (encoder) problems
+minimize the conditional ELBO (beta_rec * rec + beta_kl * KL, :214-250), the
+Unet problem is the ISIC-style real + generated-fake segmentation loss with
+fakes drawn from ``decode(aug_mask, z ~ N(0, I))``, and the outer Arch
+problem drives the encoder's 10 searchable cells (models.py:26-30) through
+the darts hypergradient.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from semantic_segmentation_tpu.core.checkpoint import CheckpointManager
+from semantic_segmentation_tpu.core.config import Config, parse_config
+from semantic_segmentation_tpu.core.logging_utils import MetricsLogger
+from semantic_segmentation_tpu.core.optim import adam_torch
+from semantic_segmentation_tpu.data.pipeline import epoch_batches
+from semantic_segmentation_tpu.engine.bilevel import BilevelEngine, InnerProblem
+from semantic_segmentation_tpu.models.seg import SegProblem, seg_loss_fn
+from semantic_segmentation_tpu.models.vae.sivae import (SoftIntroVAE, calc_kl,
+                                                        calc_reconstruction_loss,
+                                                        reparameterize)
+from semantic_segmentation_tpu.ops import image as iops
+from semantic_segmentation_tpu.ops.augment import random_augment_batch
+from semantic_segmentation_tpu.train.common import load_splits
+from semantic_segmentation_tpu.train.train_end2end import evaluate_seg
+from semantic_segmentation_tpu.train.train_vae import SIVAEParams
+
+
+def _to3(x):
+    return jnp.repeat(x, 3, axis=-1) if x.shape[-1] == 1 else x
+
+
+def build(cfg: Config, model: SoftIntroVAE | None = None,
+          hp: SIVAEParams | None = None):
+    hp = hp or SIVAEParams()
+    dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
+    model = model or SoftIntroVAE(latent_dim=8, output_nc=3,
+                                  ngf=cfg.model.ngf, dtype=dtype)
+    seg = SegProblem("unet", cfg.model.output_nc, cfg.model.classes,
+                     lr=cfg.optim.unet_lr, loss_type="jaccard",
+                     compute_dtype=dtype,
+                     base_features=cfg.model.base_features)
+    import optax
+    tx_dec = optax.adam(hp.lr_d)
+    tx_enc = optax.adam(hp.lr_e)
+    loss_lambda = cfg.optim.loss_lambda
+
+    def elbo(enc_params, dec_params, state, arch, batch, rng):
+        """The shared ELBO body of the Generator/Discriminator problems."""
+        a = _to3(batch["mask"].astype(jnp.float32))
+        b = _to3(batch["image"].astype(jnp.float32))
+        mu, logvar, e_stats = model.encode(
+            {"params": enc_params, "batch_stats": state.stats["netD"]},
+            arch["conv"], b, train=True)
+        z = reparameterize(rng, mu, logvar)
+        rec, d_stats = model.decode(
+            {"params": dec_params, "batch_stats": state.stats["netG"]}, a, z,
+            train=True)
+        loss = hp.beta_rec * calc_reconstruction_loss(
+            b, rec, hp.recon_loss_type, "mean") + \
+            hp.beta_kl * calc_kl(logvar, mu, "mean")
+        return loss, {"netG": d_stats, "netD": e_stats}
+
+    def loss_dec(dec_params, state, arch, batch, rng):
+        return elbo(state.params["netD"], dec_params, state, arch, batch, rng)
+
+    def loss_enc(enc_params, state, arch, batch, rng):
+        return elbo(enc_params, state.params["netG"], state, arch, batch, rng)
+
+    def loss_unet(u_params, state, arch, batch, rng):
+        rng_a, rng_z = jax.random.split(rng)
+        images = batch["image"].astype(jnp.float32)
+        masks = batch["mask"].astype(jnp.float32)
+        logits, u_stats = seg.apply(u_params, state.stats["unet"], images,
+                                    train=True)
+        loss = seg_loss_fn(logits, masks, seg.n_classes, "jaccard")
+        # fakes: decode(aug mask, z ~ N) (sample_with_noise, models.py:230-232)
+        aug = random_augment_batch(rng_a, masks)
+        fm = iops.threshold_mask(aug, 0.1)
+        z = jax.random.normal(rng_z, (fm.shape[0], model.latent_dim))
+        fake, g_stats = model.decode(
+            {"params": state.params["netG"],
+             "batch_stats": state.stats["netG"]}, _to3(fm), z, train=True)
+        fake = jax.lax.stop_gradient(iops.minmax_normalize(fake))
+        if cfg.model.output_nc == 1:
+            fake = jnp.mean(fake, axis=-1, keepdims=True)
+        fake_logits, u_stats = seg.apply(u_params, u_stats, fake, train=True)
+        fake_loss = seg_loss_fn(fake_logits, fm, seg.n_classes, "jaccard")
+        return loss + loss_lambda * fake_loss, {"unet": u_stats,
+                                                "netG": g_stats}
+
+    def outer_loss(state, arch, val_batch):
+        images = val_batch["image"].astype(jnp.float32)
+        masks = val_batch["mask"].astype(jnp.float32)
+        logits, _ = seg.apply(state.params["unet"], state.stats["unet"],
+                              images, train=True)
+        return seg_loss_fn(logits, masks, seg.n_classes, "jaccard")
+
+    problems = [
+        InnerProblem("netG", loss_dec, tx_dec, hp.lr_d),
+        InnerProblem("netD", loss_enc, tx_enc, hp.lr_e),
+        InnerProblem("unet", loss_unet, seg.tx, cfg.optim.unet_lr),
+    ]
+    arch_tx = adam_torch(cfg.optim.arch_lr, 0.5,
+                         weight_decay=cfg.optim.arch_weight_decay)
+    engine = BilevelEngine(problems, outer_loss, arch_tx,
+                           unroll_steps=cfg.engine.unroll_steps,
+                           roll_back=cfg.engine.roll_back,
+                           hypergrad=cfg.engine.hypergrad)
+    return model, seg, engine, (tx_dec, tx_enc)
+
+
+def train(cfg: Config, train_iters: int | None = None,
+          model: SoftIntroVAE | None = None):
+    model, seg, engine, (tx_dec, tx_enc) = build(cfg, model)
+    kv, ks = jax.random.split(jax.random.key(cfg.run.seed))
+    v = model.init(kv, cfg.data.image_size)
+    sstate = seg.init(ks, cfg.data.image_size)
+    state = engine.init(
+        params={"netG": v["dec"]["params"], "netD": v["enc"]["params"],
+                "unet": sstate.params},
+        stats={"netG": v["dec"].get("batch_stats", {}),
+               "netD": v["enc"].get("batch_stats", {}),
+               "unet": sstate.stats},
+        opts={"netG": tx_dec.init(v["dec"]["params"]),
+              "netD": tx_enc.init(v["enc"]["params"]),
+              "unet": sstate.opt},
+        arch={"conv": v["arch"]})
+
+    splits = load_splits(cfg)
+    save_dir = os.path.join(cfg.run.save_dir, cfg.run.name)
+    log = MetricsLogger(save_dir)
+    ckpt = CheckpointManager(os.path.join(save_dir, "ckpt"))
+    K = cfg.engine.unroll_steps
+    streams = {n: epoch_batches(splits["train"], cfg.data.batch_size,
+                                seed=cfg.run.seed * 7 + i)
+               for i, n in enumerate(("netG", "netD", "unet"))}
+    val_stream = epoch_batches(splits["val"], cfg.data.batch_size,
+                               seed=cfg.run.seed + 99)
+    root = jax.random.key(cfg.run.seed + 5)
+
+    iters = train_iters or cfg.engine.train_iters
+    best_val, it = 0.0, 0
+    while it < iters:
+        bs = {n: jax.tree.map(lambda x: x[None], next(s)) if K == 1 else
+              jax.tree.map(lambda *xs: np.stack(xs),
+                           *[next(s) for _ in range(K)])
+              for n, s in streams.items()}
+        state, metrics = engine.engine_step(state, bs, next(val_stream),
+                                            jax.random.fold_in(root, it))
+        it += 1
+        if it % cfg.engine.valid_step == 0:
+            val = evaluate_seg(seg, state.params["unet"],
+                               state.stats["unet"], splits["val"],
+                               cfg.data.batch_size, seg.n_classes)
+            if val > best_val:
+                best_val = val
+                ckpt.save(it, jax.device_get(state), {"val_score": val},
+                          force=True)
+            log.log({**{k: float(v_) for k, v_ in metrics.items()},
+                     "val_score": val, "best_val": best_val}, it)
+
+    results = {"best_val": best_val}
+    if splits["test"] is not None:
+        results["test_dice"] = evaluate_seg(
+            seg, state.params["unet"], state.stats["unet"], splits["test"],
+            cfg.data.batch_size, seg.n_classes)
+    log.log(results, it)
+    log.info("final: %s", results)
+    ckpt.wait()
+    log.close()
+    return state, results
+
+
+def main():
+    cfg = parse_config()
+    cfg.run.name = cfg.run.name or "end2end-sivae"
+    train(cfg)
+
+
+if __name__ == "__main__":
+    main()
