@@ -23,6 +23,8 @@ BASELINE_ITERS_PER_SEC = 5000.0 / (1.5 * 3600.0)  # A100-40G reference
 
 
 def main():
+    from semantic_segmentation_tpu.core.cache import enable_persistent_cache
+    enable_persistent_cache()
     from semantic_segmentation_tpu.core.config import parse_config
     from semantic_segmentation_tpu.data import SyntheticSegDataset, stack_dataset
     from semantic_segmentation_tpu.train.train_end2end import (

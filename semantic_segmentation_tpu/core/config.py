@@ -94,6 +94,10 @@ class RunConfig:
     save_dir: str = "./checkpoints"
     name: str = "end2end-JSRT-9-unet"
     pretrained_pix2pix: str = ""     # stage-1 G/D checkpoint dir ('' = fresh)
+    resume: bool = False             # restore latest engine checkpoint
+                                     # (--continue_train analogue, plus
+                                     # preemption-safe resume the reference
+                                     # lacks)
     seed: int = 0
     log_every: int = 10
     save_every: int = 0              # 0 = only best-val
@@ -122,13 +126,28 @@ class Config:
 PRESETS: dict[str, dict[str, Any]] = {
     # scripts/train_end2end_jsrt.sh
     "end2end_jsrt": {},
-    # scripts/train_pix2pix_lung.sh
+    # scripts/train_pix2pix_lung.sh (200 epochs x 80 imgs, lr 2e-5)
     "pix2pix_jsrt": {"optim.lr": 2e-5, "engine.train_iters": 8000,
-                     "run.name": "pix2pix-JSRT-9"},
+                     "data.n_train": 80, "data.n_val": 20, "data.n_test": 0,
+                     "run.name": "pix2pix-JSRT"},
     # scripts/train_end2end_isic.sh: 40 labeled (32+8), 594 test, jaccard loss
     "end2end_isic": {"data.dataset": "isic", "data.n_train": 32,
                      "data.n_val": 8, "data.n_test": 594,
                      "run.name": "end2end-ISIC-40-unet"},
+    # GenSeg-3D/train_end2end.sh: hippocampus 98 volumes, 78/20
+    "end2end_3d": {"data.n_train": 68, "data.n_val": 10, "data.n_test": 20,
+                   "optim.lr": 2e-4, "run.name": "end2end-3d"},
+    # BBDM Template-BBDM.yaml regime (pixel space)
+    "bbdm": {"data.batch_size": 8, "engine.train_iters": 400000,
+             "engine.valid_step": 50, "run.name": "bbdm"},
+    "end2end_bbdm": {"optim.loss_lambda": 0.0,  # BBDM/train_end2end.py:278
+                     "run.name": "end2end-bbdm"},
+    # Soft-intro_VAE regime (ISIC-style splits)
+    "sivae": {"data.dataset": "isic", "data.n_train": 32, "data.n_val": 8,
+              "data.n_test": 594, "run.name": "sivae"},
+    "end2end_sivae": {"data.dataset": "isic", "data.n_train": 32,
+                      "data.n_val": 8, "data.n_test": 594,
+                      "run.name": "end2end-sivae"},
 }
 
 

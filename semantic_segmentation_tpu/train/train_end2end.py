@@ -193,6 +193,12 @@ def train(cfg: Config, train_iters: int | None = None):
     ckpt = CheckpointManager(os.path.join(save_dir, "ckpt"))
     plateau = PlateauTracker(cfg.optim.unet_lr,
                              patience=cfg.optim.plateau_patience)
+    start_it = 0
+    if cfg.run.resume:
+        restored, step = ckpt.restore(jax.device_get(state))
+        if restored is not None:
+            state, start_it = restored, int(step)
+            log.info("resumed from checkpoint at step %d", start_it)
 
     K = cfg.engine.unroll_steps
     streams = {name: epoch_batches(splits["train"], cfg.data.batch_size,
@@ -204,7 +210,7 @@ def train(cfg: Config, train_iters: int | None = None):
 
     iters = train_iters or cfg.engine.train_iters
     n_train = len(next(iter(splits["train"].values())))
-    best_val, it = 0.0, 0
+    best_val, it = 0.0, start_it
     while it < iters:
         batch_stack = {name: _stack_k([next(s) for _ in range(K)])
                        for name, s in streams.items()}
