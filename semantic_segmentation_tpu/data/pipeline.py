@@ -61,3 +61,29 @@ def eval_batches(data: Mapping[str, np.ndarray], batch_size: int,
     """Sequential eval batches (reference: val/test loaders drop_last=True,
     OOD loaders keep all; we default to keeping all)."""
     yield from batch_iterator(data, batch_size, None, False, drop_last)
+
+
+def epoch_index_batches(n: int, batch_size: int, seed: int,
+                        drop_last: bool = True):
+    """Infinite stream of shuffled INDEX batches. With device-resident splits
+    the trainer slices on device per step instead of shipping pixels over
+    PCIe — the input-pipeline cost of a step becomes a few tiny gathers."""
+    epoch = 0
+    while True:
+        rng = np.random.default_rng((seed, epoch))
+        order = rng.permutation(n)
+        stop = n - (n % batch_size) if drop_last else n
+        for i in range(0, stop, batch_size):
+            yield order[i:i + batch_size]
+        epoch += 1
+
+
+def device_put_split(split: Mapping[str, np.ndarray]):
+    """One-time upload of a stacked split; slices stay on device."""
+    import jax
+    return {k: jax.device_put(v) for k, v in split.items()}
+
+
+def take_batch(device_split, idx):
+    """Device-side gather of a batch by index array."""
+    return {k: v[idx] for k, v in device_split.items()}

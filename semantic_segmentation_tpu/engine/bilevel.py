@@ -246,3 +246,22 @@ class BilevelEngine:
         else:
             state = stateK.replace(arch=new_arch, opt_arch=opt_arch)
         return state.replace(step=state.step + 1), metrics
+
+    # ------------------------------------------------------------------
+    @partial(jax.jit, static_argnames=("self", "problem_names"))
+    def engine_step_sampled(self, state: EngineState, train_data, val_data,
+                            idx_stack, val_idx, step, rng,
+                            problem_names: tuple):
+        """One engine iteration with DEVICE-SIDE batch assembly: the trainer
+        passes the whole (HBM-resident) splits plus per-problem index arrays
+        (K, B); gathering, K-stacking, and rng folding all happen inside one
+        jitted dispatch — a single host->device call per training step
+        instead of dozens (important through high-latency device tunnels).
+        """
+        batch_stack = {
+            name: jax.tree.map(lambda x: x[idx_stack[name]], train_data)
+            for name in problem_names
+        }
+        val_batch = jax.tree.map(lambda x: x[val_idx], val_data)
+        return self.engine_step(state, batch_stack, val_batch,
+                                jax.random.fold_in(rng, step))

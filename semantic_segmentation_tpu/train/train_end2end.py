@@ -31,7 +31,9 @@ from semantic_segmentation_tpu.core.config import Config, parse_config
 from semantic_segmentation_tpu.core.logging_utils import MetricsLogger
 from semantic_segmentation_tpu.core.optim import (PlateauTracker, adam_torch,
                                                   set_learning_rate)
-from semantic_segmentation_tpu.data.pipeline import epoch_batches, eval_batches
+from semantic_segmentation_tpu.data.pipeline import (device_put_split,
+                                                     epoch_index_batches,
+                                                     eval_batches)
 from semantic_segmentation_tpu.engine.bilevel import BilevelEngine, InnerProblem
 from semantic_segmentation_tpu.models.pix2pix.model import Pix2Pix
 from semantic_segmentation_tpu.models.seg import SegProblem, seg_loss_fn
@@ -168,11 +170,6 @@ def build_engine_and_state(cfg: Config, rng):
     return engine, state, p2p, seg
 
 
-def _stack_k(batches):
-    return jax.tree.map(lambda *xs: np.stack(xs), *batches) if len(batches) > 1 \
-        else jax.tree.map(lambda x: x[None], batches[0])
-
-
 def evaluate_seg(seg: SegProblem, params, stats, data, batch_size, n_classes):
     total, count = 0.0, 0
     for b in eval_batches(data, batch_size):
@@ -201,22 +198,31 @@ def train(cfg: Config, train_iters: int | None = None):
             log.info("resumed from checkpoint at step %d", start_it)
 
     K = cfg.engine.unroll_steps
-    streams = {name: epoch_batches(splits["train"], cfg.data.batch_size,
-                                   seed=cfg.run.seed * 7 + i)
+    n_train = len(next(iter(splits["train"].values())))
+    n_val = len(next(iter(splits["val"].values())))
+    # one-time HBM upload; per-step batches are device-side gathers
+    train_dev = device_put_split(splits["train"])
+    val_dev = device_put_split(splits["val"])
+    streams = {name: epoch_index_batches(n_train, cfg.data.batch_size,
+                                         seed=cfg.run.seed * 7 + i)
                for i, name in enumerate(("netG", "netD", "unet"))}
-    val_stream = epoch_batches(splits["val"], cfg.data.batch_size,
-                               seed=cfg.run.seed + 99)
+    val_stream = epoch_index_batches(n_val, cfg.data.batch_size,
+                                     seed=cfg.run.seed + 99)
     root = jax.random.key(cfg.run.seed + 5)
 
     iters = train_iters or cfg.engine.train_iters
-    n_train = len(next(iter(splits["train"].values())))
+    names = ("netG", "netD", "unet")
     best_val, it = 0.0, start_it
+    # best seg net kept as a DEVICE-side snapshot; serialized once at the
+    # end (the reference torch.saves on every improvement — pathological
+    # through a low-bandwidth device tunnel)
+    best_unet = (state.params["unet"], state.stats["unet"])
     while it < iters:
-        batch_stack = {name: _stack_k([next(s) for _ in range(K)])
-                       for name, s in streams.items()}
-        val_batch = next(val_stream)
-        state, metrics = engine.engine_step(state, batch_stack, val_batch,
-                                            jax.random.fold_in(root, it))
+        idx_stack = {n: np.stack([next(s) for _ in range(K)])
+                     for n, s in streams.items()}
+        state, metrics = engine.engine_step_sampled(
+            state, train_dev, val_dev, idx_stack, next(val_stream),
+            jnp.int32(it), root, names)
         it += 1
         if it % cfg.engine.valid_step == 0:
             val = evaluate_seg(seg, state.params["unet"], state.stats["unet"],
@@ -224,23 +230,30 @@ def train(cfg: Config, train_iters: int | None = None):
                                seg.n_classes)
             if val > best_val:
                 best_val = val
-                ckpt.save(it, jax.device_get(state), {"val_score": val},
-                          force=True)
+                best_unet = (state.params["unet"], state.stats["unet"])
             log.log({**{k: float(v) for k, v in metrics.items()},
                      "val_score": val, "best_val": best_val}, it)
+        if cfg.run.save_every and it % cfg.run.save_every == 0:
+            ckpt.save(it, jax.device_get(state), {"val_score": best_val},
+                      force=True)
         if it % max(n_train, 1) == 0:
             lr = plateau.step(best_val)
             set_learning_rate(state.opts["unet"], lr)
 
+    ckpt.save(it, jax.device_get(state), {"val_score": best_val}, force=True)
     results = {"best_val": best_val}
+    bu_params, bu_stats = best_unet
     if splits["test"] is not None:
         results["test_dice"] = evaluate_seg(
-            seg, state.params["unet"], state.stats["unet"], splits["test"],
+            seg, bu_params, bu_stats, splits["test"],
             cfg.data.batch_size, seg.n_classes)
     for name, data in splits["ood"]:
         results[f"ood_{name}"] = evaluate_seg(
-            seg, state.params["unet"], state.stats["unet"], data,
+            seg, bu_params, bu_stats, data,
             cfg.data.batch_size, seg.n_classes)
+    from semantic_segmentation_tpu.utils.serialization import save_pytree
+    save_pytree(jax.device_get({"params": bu_params, "stats": bu_stats}),
+                os.path.join(save_dir, "unet_best.msgpack"))
     log.log(results, it)
     log.info("final: %s", results)
     ckpt.wait()
