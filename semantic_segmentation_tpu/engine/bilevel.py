@@ -265,3 +265,29 @@ class BilevelEngine:
         val_batch = jax.tree.map(lambda x: x[val_idx], val_data)
         return self.engine_step(state, batch_stack, val_batch,
                                 jax.random.fold_in(rng, step))
+
+    @partial(jax.jit, static_argnames=("self", "problem_names"))
+    def engine_run_chunk(self, state: EngineState, train_data, val_data,
+                         idx_chunk, val_idx_chunk, step0, rng,
+                         problem_names: tuple):
+        """S engine iterations in ONE dispatch (lax.scan over
+        engine_step_sampled bodies). ``idx_chunk``: name -> (S, K, B) index
+        arrays; ``val_idx_chunk``: (S, B). Host overhead per training step
+        drops to ~zero — between validations the chip never waits on the
+        host. Returns the final state and the last iteration's metrics."""
+
+        def body(st, xs):
+            s, idxs, vidx = xs
+            batch_stack = {
+                name: jax.tree.map(lambda x: x[idxs[name]], train_data)
+                for name in problem_names
+            }
+            val_batch = jax.tree.map(lambda x: x[vidx], val_data)
+            st, metrics = self.engine_step(st, batch_stack, val_batch,
+                                           jax.random.fold_in(rng, step0 + s))
+            return st, metrics
+
+        S = val_idx_chunk.shape[0]
+        state, metrics = jax.lax.scan(
+            body, state, (jnp.arange(S), idx_chunk, val_idx_chunk))
+        return state, jax.tree.map(lambda x: x[-1], metrics)

@@ -218,25 +218,30 @@ def train(cfg: Config, train_iters: int | None = None):
     # through a low-bandwidth device tunnel)
     best_unet = (state.params["unet"], state.stats["unet"])
     while it < iters:
-        idx_stack = {n: np.stack([next(s) for _ in range(K)])
+        # one dispatch per validation interval: S engine iterations scanned
+        # on device
+        S = min(cfg.engine.valid_step, iters - it)
+        idx_chunk = {n: np.stack([np.stack([next(s) for _ in range(K)])
+                                  for _ in range(S)])
                      for n, s in streams.items()}
-        state, metrics = engine.engine_step_sampled(
-            state, train_dev, val_dev, idx_stack, next(val_stream),
+        val_idx_chunk = np.stack([next(val_stream) for _ in range(S)])
+        state, metrics = engine.engine_run_chunk(
+            state, train_dev, val_dev, idx_chunk, val_idx_chunk,
             jnp.int32(it), root, names)
-        it += 1
-        if it % cfg.engine.valid_step == 0:
-            val = evaluate_seg(seg, state.params["unet"], state.stats["unet"],
-                               splits["val"], cfg.data.batch_size,
-                               seg.n_classes)
-            if val > best_val:
-                best_val = val
-                best_unet = (state.params["unet"], state.stats["unet"])
-            log.log({**{k: float(v) for k, v in metrics.items()},
-                     "val_score": val, "best_val": best_val}, it)
+        it += S
+        val = evaluate_seg(seg, state.params["unet"], state.stats["unet"],
+                           splits["val"], cfg.data.batch_size, seg.n_classes)
+        if val > best_val:
+            best_val = val
+            best_unet = (state.params["unet"], state.stats["unet"])
+        log.log({**{k: float(v) for k, v in metrics.items()},
+                 "val_score": val, "best_val": best_val}, it)
         if cfg.run.save_every and it % cfg.run.save_every == 0:
             ckpt.save(it, jax.device_get(state), {"val_score": best_val},
                       force=True)
-        if it % max(n_train, 1) == 0:
+        # plateau stepping every len(train_set) global steps
+        # (train_end2end_jsrt.py:254-255) — applied per chunk boundary
+        if (it // max(n_train, 1)) != ((it - S) // max(n_train, 1)):
             lr = plateau.step(best_val)
             set_learning_rate(state.opts["unet"], lr)
 

@@ -24,7 +24,8 @@ from semantic_segmentation_tpu.core.optim import (PlateauTracker, adam_torch,
                                                   rmsprop_torch,
                                                   set_learning_rate)
 from semantic_segmentation_tpu.data.pipeline import (batch_iterator,
-                                                     epoch_batches,
+                                                     device_put_split,
+                                                     epoch_index_batches,
                                                      eval_batches,
                                                      stack_dataset,
                                                      subset_split)
@@ -242,24 +243,27 @@ def train(cfg: Config, train_iters: int | None = None, crop: int = 64,
                              patience=cfg.optim.plateau_patience)
 
     K = cfg.engine.unroll_steps
-    streams = {n: epoch_batches(splits["train"], cfg.data.batch_size,
-                                seed=cfg.run.seed * 7 + i)
-               for i, n in enumerate(("netG", "netD", "unet"))}
-    val_stream = epoch_batches(splits["val"], cfg.data.batch_size,
-                               seed=cfg.run.seed + 99)
+    n_tr = len(next(iter(splits["train"].values())))
+    n_va = len(next(iter(splits["val"].values())))
+    train_dev = device_put_split(splits["train"])
+    val_dev = device_put_split(splits["val"])
+    names = ("netG", "netD", "unet")
+    streams = {n: epoch_index_batches(n_tr, cfg.data.batch_size,
+                                      seed=cfg.run.seed * 7 + i)
+               for i, n in enumerate(names)}
+    val_stream = epoch_index_batches(n_va, cfg.data.batch_size,
+                                     seed=cfg.run.seed + 99)
     root = jax.random.key(cfg.run.seed + 5)
 
     iters = train_iters or cfg.engine.train_iters
     best_val, it = 0.0, 0
     n_train = len(next(iter(splits["train"].values())))
     while it < iters:
-        bs = {n: jax.tree.map(lambda x: x[None],
-                              next(s)) if K == 1 else
-              jax.tree.map(lambda *xs: np.stack(xs),
-                           *[next(s) for _ in range(K)])
-              for n, s in streams.items()}
-        state, metrics = engine.engine_step(state, bs, next(val_stream),
-                                            jax.random.fold_in(root, it))
+        idx_stack = {n: np.stack([next(s) for _ in range(K)])
+                     for n, s in streams.items()}
+        state, metrics = engine.engine_step_sampled(
+            state, train_dev, val_dev, idx_stack, next(val_stream),
+            jnp.int32(it), root, names)
         it += 1
         if it % cfg.engine.valid_step == 0:
             val = evaluate_seg3d(model, state.params["unet"],
