@@ -53,6 +53,82 @@ def port_batchnorm(sd: dict, prefix: str):
              "var": sd[f"{prefix}.running_var"]})
 
 
+def port_vgg16_features(sd: dict):
+    """torchvision ``vgg16().features`` state_dict -> models/vgg.py
+    VGG16Features params (conv layers up to relu4_3; torch feature indices
+    0,2,5,7,10,12,14,17,19,21)."""
+    torch_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21]
+    params = {}
+    for i, ti in enumerate(torch_idx):
+        params[f"conv{i}"] = {
+            "kernel": convert_conv(sd[f"features.{ti}.weight"]
+                                   if f"features.{ti}.weight" in sd
+                                   else sd[f"{ti}.weight"]),
+            "bias": sd.get(f"features.{ti}.bias", sd.get(f"{ti}.bias")),
+        }
+    return params
+
+
+def port_swin_tiny(sd: dict, depths=(2, 2, 2, 2), depths_decoder=(1, 2, 2, 2)):
+    """timm/microsoft ``swin_tiny_patch4_window7_224`` state_dict -> our
+    models/swin_unet.py params, replicating the reference's ``load_from``
+    (swin_unet/vision_transformer.py:54+): encoder weights load directly and
+    are ALSO copied into the mirrored decoder stage (``layers.{i}`` ->
+    ``layers_up.{3-i}``). Heads/skip projections stay randomly initialized
+    (the reference's non-matching keys are likewise skipped)."""
+    def ln(prefix):
+        return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+    def block(prefix):
+        return {
+            "norm1": ln(f"{prefix}.norm1"),
+            "attn": {
+                "qkv": {"kernel": convert_linear(sd[f"{prefix}.attn.qkv.weight"]),
+                        "bias": sd[f"{prefix}.attn.qkv.bias"]},
+                "proj": {"kernel": convert_linear(sd[f"{prefix}.attn.proj.weight"]),
+                         "bias": sd[f"{prefix}.attn.proj.bias"]},
+                "rel_pos_bias": sd[f"{prefix}.attn.relative_position_bias_table"],
+            },
+            "norm2": ln(f"{prefix}.norm2"),
+            "mlp_fc1": {"kernel": convert_linear(sd[f"{prefix}.mlp.fc1.weight"]),
+                        "bias": sd[f"{prefix}.mlp.fc1.bias"]},
+            "mlp_fc2": {"kernel": convert_linear(sd[f"{prefix}.mlp.fc2.weight"]),
+                        "bias": sd[f"{prefix}.mlp.fc2.bias"]},
+        }
+
+    params: dict = {
+        "patch_embed": {"kernel": convert_conv(sd["patch_embed.proj.weight"]),
+                        "bias": sd["patch_embed.proj.bias"]},
+        "embed_norm": ln("patch_embed.norm"),
+    }
+    nl = len(depths)
+    for li in range(nl):
+        for bi in range(depths[li]):
+            b = block(f"layers.{li}.blocks.{bi}")
+            # flatten to our module names (attn is a submodule)
+            params[f"enc{li}_blk{bi}"] = {
+                "norm1": b["norm1"], "norm2": b["norm2"],
+                "mlp_fc1": b["mlp_fc1"], "mlp_fc2": b["mlp_fc2"],
+                "attn": b["attn"],
+            }
+        if li < nl - 1:
+            params[f"merge{li}"] = {
+                "norm": ln(f"layers.{li}.downsample.norm"),
+                "reduction": {"kernel": convert_linear(
+                    sd[f"layers.{li}.downsample.reduction.weight"])},
+            }
+    # decoder mirror (load_from's layers_up remap): our decoder stage li
+    # (== layers_up[li+1]) receives encoder layer nl-2-li's blocks
+    for li in range(nl - 1):
+        src = nl - 2 - li
+        for dbi in range(depths_decoder[nl - 2 - li]):
+            sbi = min(dbi, depths[src] - 1)
+            params[f"dec{li}_blk{dbi}"] = params[f"enc{src}_blk{sbi}"]
+    if "norm.weight" in sd:
+        params["bottleneck_norm"] = ln("norm")
+    return params
+
+
 def port_unet_milesial(sd: dict):
     """Port the reference U-Net (unet/unet_model.py naming: inc/down1..4/
     up1..4/outc with DoubleConv indices) into our models/unet.py tree.
