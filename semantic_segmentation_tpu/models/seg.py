@@ -108,3 +108,12 @@ class SegProblem:
         logits, _ = self.apply(state.params, state.stats,
                                images.astype(jnp.float32), train=False)
         return logits
+
+    @partial(jax.jit, static_argnames=("self",))
+    def eval_logits_p(self, params, stats, images):
+        """Jitted eval forward on raw (params, stats) — used by the engine
+        trainers' validation hooks (an eager apply would dispatch hundreds of
+        ops per eval through the device tunnel)."""
+        logits, _ = self.apply(params, stats, images.astype(jnp.float32),
+                               train=False)
+        return logits

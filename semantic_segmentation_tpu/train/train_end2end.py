@@ -173,8 +173,8 @@ def build_engine_and_state(cfg: Config, rng):
 def evaluate_seg(seg: SegProblem, params, stats, data, batch_size, n_classes):
     total, count = 0.0, 0
     for b in eval_batches(data, batch_size):
-        logits, _ = seg.apply(params, stats, b["image"].astype(np.float32),
-                              train=False)
+        logits = seg.eval_logits_p(params, stats,
+                                   b["image"].astype(np.float32))
         total += float(eval_batch_dice(logits, b["mask"], n_classes))
         count += 1
     return total / max(count, 1)

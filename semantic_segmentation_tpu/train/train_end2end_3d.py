@@ -98,6 +98,15 @@ class GenSeg3D:
             return y, mut["batch_stats"]
         return self.seg.apply(variables, vol, train=False), stats
 
+    def seg_eval_logits(self, params, stats, vol):
+        """Jitted eval forward (one dispatch per eval batch)."""
+        import functools
+        if not hasattr(self, "_eval_jit"):
+            self._eval_jit = jax.jit(
+                lambda p, s, v: self.seg.apply(
+                    {"params": p, "batch_stats": s}, v, train=False))
+        return self._eval_jit(params, stats, vol)
+
     # -- problems -----------------------------------------------------------
     def build_problems(self):
         cfg = self.cfg
@@ -200,8 +209,8 @@ def evaluate_seg3d(model: GenSeg3D, params, stats, data, batch_size):
     seg net on (B, mask) over batches."""
     total, count = 0.0, 0
     for b in eval_batches(data, batch_size):
-        logits, _ = model.seg_apply(params, stats,
-                                    b["B"].astype(np.float32), train=False)
+        logits = model.seg_eval_logits(params, stats,
+                                       b["B"].astype(np.float32))
         total += float(losses.argmax_dice_score(
             logits, b["mask"][..., 0].astype(np.float32)))
         count += 1
