@@ -26,6 +26,7 @@ def main():
     cfg.data.n_val = 2
     cfg.data.n_test = 8
     cfg.engine.valid_step = 25
+    cfg.run.final_checkpoint = False   # skip the ~1GB tunnel pull
     cfg.run.save_dir = "/tmp/genseg_validate"
     cfg.run.name = "validate-e2e"
     t0 = time.time()

@@ -94,6 +94,7 @@ class RunConfig:
     save_dir: str = "./checkpoints"
     name: str = "end2end-JSRT-9-unet"
     pretrained_pix2pix: str = ""     # stage-1 G/D checkpoint dir ('' = fresh)
+    final_checkpoint: bool = True    # serialize full engine state at the end
     resume: bool = False             # restore latest engine checkpoint
                                      # (--continue_train analogue, plus
                                      # preemption-safe resume the reference

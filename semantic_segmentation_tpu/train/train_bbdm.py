@@ -184,6 +184,33 @@ def train(cfg: Config, train_iters: int | None = None,
     return model, state
 
 
+def sample_to_eval(model: BBDMModel, state: BBDMState, data, batch_size: int,
+                   out_dir: str, rng=None, n_per_cond: int = 1):
+    """BBDMRunner.sample_to_eval capability: sample image(s) per condition,
+    save grids, return arrays for FID/LPIPS/diversity scoring
+    (ops/gen_metrics)."""
+    import jax as _jax
+    from semantic_segmentation_tpu.data.pipeline import eval_batches
+    from semantic_segmentation_tpu.utils.visuals import save_image_grid
+    rng = rng if rng is not None else _jax.random.key(0)
+    all_samples, all_reals = [], []
+    for bi, b in enumerate(eval_batches(data, batch_size)):
+        per_cond = []
+        for si in range(n_per_cond):
+            out = model.sample(state, jnp.asarray(b["mask_pix2pix"],
+                                                  jnp.float32),
+                               _jax.random.fold_in(rng, bi * 131 + si))
+            per_cond.append(np.asarray(out))
+        samples = np.stack(per_cond, axis=1)     # (B, n_per_cond, H, W, C)
+        all_samples.append(samples)
+        all_reals.append(np.asarray(b["image_pix2pix"], np.float32))
+        save_image_grid(
+            [b["mask_pix2pix"][0].astype(np.float32), samples[0, 0],
+             b["image_pix2pix"][0]],
+            os.path.join(out_dir, f"cond{bi}.png"), cols=3)
+    return np.concatenate(all_samples), np.concatenate(all_reals)
+
+
 def main():
     cfg = parse_config()
     cfg.run.name = cfg.run.name or "bbdm"

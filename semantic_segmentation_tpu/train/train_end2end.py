@@ -229,12 +229,19 @@ def train(cfg: Config, train_iters: int | None = None):
             state, train_dev, val_dev, idx_chunk, val_idx_chunk,
             jnp.int32(it), root, names)
         it += S
-        val = evaluate_seg(seg, state.params["unet"], state.stats["unet"],
-                           splits["val"], cfg.data.batch_size, seg.n_classes)
+        # on-device validation on the HBM-resident val split, then ONE
+        # device->host transfer for all scalars (each float() would be a
+        # full round-trip through the device tunnel)
+        dice_dev = eval_batch_dice(
+            seg.eval_logits_p(state.params["unet"], state.stats["unet"],
+                              val_dev["image"]),
+            val_dev["mask"], seg.n_classes)
+        m_host, val = jax.device_get((metrics, dice_dev))
+        val = float(val)
         if val > best_val:
             best_val = val
             best_unet = (state.params["unet"], state.stats["unet"])
-        log.log({**{k: float(v) for k, v in metrics.items()},
+        log.log({**{k: float(v) for k, v in m_host.items()},
                  "val_score": val, "best_val": best_val}, it)
         if cfg.run.save_every and it % cfg.run.save_every == 0:
             ckpt.save(it, jax.device_get(state), {"val_score": best_val},
@@ -245,7 +252,9 @@ def train(cfg: Config, train_iters: int | None = None):
             lr = plateau.step(best_val)
             set_learning_rate(state.opts["unet"], lr)
 
-    ckpt.save(it, jax.device_get(state), {"val_score": best_val}, force=True)
+    if cfg.run.final_checkpoint:
+        ckpt.save(it, jax.device_get(state), {"val_score": best_val},
+                  force=True)
     results = {"best_val": best_val}
     bu_params, bu_stats = best_unet
     if splits["test"] is not None:

@@ -18,6 +18,7 @@ from semantic_segmentation_tpu.data.pipeline import batch_iterator
 from semantic_segmentation_tpu.models.pix2pix.model import Pix2Pix
 from semantic_segmentation_tpu.train.common import load_splits
 from semantic_segmentation_tpu.utils.serialization import load_pytree, save_pytree
+from semantic_segmentation_tpu.utils.visuals import save_image_grid
 
 
 def build_pix2pix(cfg: Config, lr: float | None = None) -> Pix2Pix:
@@ -51,6 +52,14 @@ def train(cfg: Config, n_epochs: int | None = None, train_iters: int | None = No
             step += 1
             if step % cfg.run.log_every == 0:
                 log.log(metrics, step)
+                # display_freq visuals (train_pix2pix_lung.py:83-91): mask /
+                # fake / real panel saved as a PNG grid
+                fake = model.generate(state, batch["mask_pix2pix"][:1])
+                save_image_grid(
+                    [batch["mask_pix2pix"][0].astype(np.float32),
+                     np.asarray(fake[0]), batch["image_pix2pix"][0]],
+                    os.path.join(save_dir, "samples", f"step{step}.png"),
+                    cols=3)
             if step >= max_iters:
                 break
         epoch += 1
