@@ -49,7 +49,10 @@ class BBDMState:
 
 
 class BBDMModel:
-    """BrownianBridge + ADMUNet + optimizer, functional."""
+    """BrownianBridge + ADMUNet + optimizer, functional. With ``vqgan_vars``
+    the bridge runs in the frozen VQGAN latent space (LBBDM,
+    Template-LBBDM-*.yaml): x/y are encoded before diffusion and samples are
+    decoded back (models/diffusion/latent_bbdm.py)."""
 
     def __init__(self, channels: int = 1, model_channels: int = 128,
                  channel_mult=(1, 4, 8), num_res_blocks: int = 2,
@@ -57,6 +60,7 @@ class BBDMModel:
                  objective: str = "grad", loss_type: str = "l1",
                  lr: float = 1e-4, accumulate: int = 1,
                  ema_cfg: EMAConfig | None = None,
+                 vqgan=None, vqgan_vars=None, normalize_latent: bool = False,
                  compute_dtype=jnp.bfloat16):
         self.unet = ADMUNet(out_channels=channels,
                             model_channels=model_channels,
@@ -75,6 +79,16 @@ class BBDMModel:
                                    train=train, rngs=rngs)
 
         self.bridge = BrownianBridge(denoise, self.sched, objective, loss_type)
+        self.latent = None
+        self.vqgan_vars = vqgan_vars
+        self.latent_stats = None
+        if vqgan is not None:
+            from semantic_segmentation_tpu.models.diffusion.latent_bbdm \
+                import LatentBrownianBridge
+            self.latent = LatentBrownianBridge(
+                denoise, vqgan, self.sched, objective, loss_type,
+                condition_key="first_stage",
+                normalize_latent=normalize_latent)
         base = optax.inject_hyperparams(optax.adam)(
             learning_rate=lr, b1=0.9, b2=0.999, eps=1e-8)
         self.tx = optax.MultiSteps(base, every_k_schedule=accumulate) \
@@ -89,7 +103,13 @@ class BBDMModel:
     def init(self, rng, image_size: int) -> BBDMState:
         ku, ka = jax.random.split(rng)
         arch = 1e-3 * jax.random.normal(ka, (self.n_cells, NUM_OPS))
-        x = jnp.zeros((1, image_size, image_size, self.channels))
+        if self.latent is not None:
+            # denoiser operates at the VQGAN latent resolution/width
+            img0 = jnp.zeros((1, image_size, image_size,
+                              self.latent.vqgan.out_channels))
+            x = jnp.zeros_like(self.latent.get_latent(self.vqgan_vars, img0))
+        else:
+            x = jnp.zeros((1, image_size, image_size, self.channels))
         t0 = jnp.zeros((1,), jnp.int32)
         uv = self.unet.init({"params": ku}, x, t0, arch, context=x,
                             train=False)
@@ -99,11 +119,15 @@ class BBDMModel:
                          step=jnp.zeros((), jnp.int32))
 
     def loss_fn(self, params, arch, batch, rng, train=True):
-        """x0 = target image, y = condition (BBDM x <- y bridge)."""
+        """x0 = target image, y = condition (BBDM x <- y bridge); latent
+        space when a VQGAN is attached."""
         x0 = batch["image_pix2pix"].astype(jnp.float32) * 2.0 - 1.0
         y = batch["mask_pix2pix"].astype(jnp.float32) * 2.0 - 1.0
-        return self.bridge.p_losses({"unet": params, "arch": arch}, x0, y,
-                                    rng, train=train)
+        p = {"unet": params, "arch": arch}
+        if self.latent is not None:
+            return self.latent.p_losses(p, self.vqgan_vars, x0, y, rng,
+                                        self.latent_stats, train=train)
+        return self.bridge.p_losses(p, x0, y, rng, train=train)
 
     @partial(jax.jit, static_argnames=("self",))
     def train_step(self, state: BBDMState, batch, rng):
@@ -126,11 +150,16 @@ class BBDMModel:
 
     @partial(jax.jit, static_argnames=("self", "use_ema"))
     def sample(self, state: BBDMState, cond, rng, use_ema: bool = True):
-        """mask -> image via the 200-step skip sampler (one scan)."""
+        """mask -> image via the 200-step skip sampler (one scan); through
+        the frozen VQGAN when latent."""
         y = cond.astype(jnp.float32) * 2.0 - 1.0
         params = {"unet": state.ema if use_ema else state.params,
                   "arch": state.arch}
-        img = self.bridge.p_sample_loop(params, y, rng)
+        if self.latent is not None:
+            img = self.latent.sample(params, self.vqgan_vars, y, rng,
+                                     self.latent_stats)
+        else:
+            img = self.bridge.p_sample_loop(params, y, rng)
         return (img + 1.0) * 0.5
 
 
