@@ -1,11 +1,17 @@
 """Headline benchmark: end-to-end GenSeg bilevel training throughput at the
 reference regime (256x256, batch 2, U-Net seg + unet_256 generator + PatchGAN
 + darts arch step + rollback replay — the full engine iteration of
-``scripts/train_end2end_jsrt.sh``).
+``scripts/train_end2end_jsrt.sh``), measured as executed by the real trainer
+(chunked device-side loop of train/train_end2end.py).
 
 Baseline: the reference reports ~1.5 h for 5,000 iterations on one A100-40G
 (README.md:34) = 0.926 iter/s. ``vs_baseline`` = ours / 0.926 (higher is
 better).
+
+Synchronization note: on tunneled TPU backends ``block_until_ready`` can
+return before remote execution finishes; the timing below syncs by pulling a
+metric scalar with ``device_get`` after each chunk, so the number is honest
+end-to-end training throughput.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -15,7 +21,6 @@ from __future__ import annotations
 import json
 import time
 
-import jax
 import numpy as np
 
 
@@ -25,8 +30,11 @@ BASELINE_ITERS_PER_SEC = 5000.0 / (1.5 * 3600.0)  # A100-40G reference
 def main():
     from semantic_segmentation_tpu.core.cache import enable_persistent_cache
     enable_persistent_cache()
+    import jax
+    import jax.numpy as jnp
     from semantic_segmentation_tpu.core.config import parse_config
     from semantic_segmentation_tpu.data import SyntheticSegDataset, stack_dataset
+    from semantic_segmentation_tpu.data.pipeline import device_put_split
     from semantic_segmentation_tpu.train.train_end2end import (
         build_engine_and_state)
 
@@ -37,31 +45,37 @@ def main():
     # full reference model sizes: ngf=ndf=64, unet_256, UNet-64
     engine, state, p2p, seg = build_engine_and_state(cfg, jax.random.key(0))
 
-    data = stack_dataset(SyntheticSegDataset(n=2, size=256))
-    batch = {k: np.asarray(v) for k, v in data.items()}
-    batch_stack = {name: jax.tree.map(lambda x: x[None], batch)
-                   for name in ("netG", "netD", "unet")}
-    rng = jax.random.key(1)
+    data = stack_dataset(SyntheticSegDataset(n=7, size=256))
+    train_dev = device_put_split({k: np.asarray(v) for k, v in data.items()})
+    val_dev = device_put_split(
+        {k: np.asarray(v)[:2] for k, v in data.items()})
+    names = ("netG", "netD", "unet")
+    root = jax.random.key(1)
+    rng = np.random.default_rng(0)
+    S = 25  # chunk size (one validation interval)
 
-    # warmup / compile
-    for i in range(3):
-        state, metrics = engine.engine_step(state, batch_stack, batch,
-                                            jax.random.fold_in(rng, i))
-    jax.block_until_ready(state)
+    def run_chunk(state, i):
+        idx = {n: rng.integers(0, 7, size=(S, 1, 2)) for n in names}
+        vidx = rng.integers(0, 2, size=(S, 2))
+        return engine.engine_run_chunk(state, train_dev, val_dev, idx, vidx,
+                                       jnp.int32(i * S), root, names)
 
-    n = 20
+    # warmup / compile, with a true sync
+    state, metrics = run_chunk(state, 0)
+    jax.device_get(metrics)
+
+    n_chunks = 8
     t0 = time.perf_counter()
-    for i in range(n):
-        state, metrics = engine.engine_step(state, batch_stack, batch,
-                                            jax.random.fold_in(rng, 100 + i))
-    jax.block_until_ready(state)
+    for i in range(1, n_chunks + 1):
+        state, metrics = run_chunk(state, i)
+    jax.device_get(metrics)           # sync on the final chunk's output
     dt = time.perf_counter() - t0
 
-    iters_per_sec = n / dt
+    iters_per_sec = n_chunks * S / dt
     print(json.dumps({
         "metric": "end2end_bilevel_iters_per_sec",
         "value": round(iters_per_sec, 4),
-        "unit": "iter/s (256^2, batch 2, full GenSeg step)",
+        "unit": "iter/s (256^2, batch 2, full GenSeg bilevel step incl. rollback)",
         "vs_baseline": round(iters_per_sec / BASELINE_ITERS_PER_SEC, 3),
     }))
 

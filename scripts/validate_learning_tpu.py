@@ -29,8 +29,10 @@ def main():
     cfg.run.final_checkpoint = False   # skip the ~1GB tunnel pull
     cfg.run.save_dir = "/tmp/genseg_validate"
     cfg.run.name = "validate-e2e"
+    iters = int(os.environ.get("VALIDATE_ITERS", "400"))
     t0 = time.time()
-    state, results = train(cfg, train_iters=400)
+    state, results = train(cfg, train_iters=iters)
+    results["iters"] = iters
     results["wall_s"] = round(time.time() - t0, 1)
     print(json.dumps(results))
 
