@@ -31,6 +31,7 @@ class CheckpointManager:
 
     def save(self, step: int, state: Any, metrics: dict | None = None,
              force: bool = False):
+        self._mgr.wait_until_finished()  # don't race in-flight async saves
         if step in (self._mgr.all_steps() or ()):  # resume/re-run overwrite
             self._mgr.delete(step)
         self._mgr.save(step, args=ocp.args.StandardSave(state),
