@@ -135,6 +135,13 @@ PRESETS: dict[str, dict[str, Any]] = {
     "end2end_isic": {"data.dataset": "isic", "data.n_train": 32,
                      "data.n_val": 8, "data.n_test": 594,
                      "run.name": "end2end-ISIC-40-unet"},
+    # Swin-UNet ISIC variant (util/ISIC_224_loader.py + --seg_model vit):
+    # 224 inputs; resnet generator (any-size) instead of the 256-only unet G
+    "end2end_isic224": {"data.dataset": "isic224", "data.image_size": 224,
+                        "data.n_train": 32, "data.n_val": 8,
+                        "data.n_test": 594, "model.seg_model": "vit",
+                        "model.netG": "resnet_9blocks",
+                        "run.name": "end2end-ISIC224-swin"},
     # GenSeg-3D/train_end2end.sh: hippocampus 98 volumes, 78/20
     "end2end_3d": {"data.n_train": 68, "data.n_val": 10, "data.n_test": 20,
                    "optim.lr": 2e-4, "run.name": "end2end-3d"},

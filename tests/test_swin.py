@@ -35,6 +35,22 @@ def test_swin_unet_shapes():
     assert y.dtype == jnp.float32
 
 
+def test_swin_as_seg_problem():
+    """SwinUnet through the SegProblem interface (no batch_stats)."""
+    import numpy as np
+    from semantic_segmentation_tpu.data import SyntheticSegDataset, stack_dataset
+    from semantic_segmentation_tpu.models.seg import SegProblem
+    prob = SegProblem("vit", 1, 1, lr=1e-4, loss_type="jaccard",
+                      compute_dtype=jnp.float32, img_size=32, patch_size=4,
+                      embed_dim=12, depths=(1, 1, 1, 1),
+                      depths_decoder=(1, 1, 1, 1), num_heads=(2, 2, 2, 2),
+                      window_size=4)
+    state = prob.init(jax.random.key(0), image_size=32)
+    batch = stack_dataset(SyntheticSegDataset(n=2, size=32))
+    state, m = prob.train_step(state, batch)
+    assert np.isfinite(float(m["loss"]))
+
+
 def test_swin_unet_grads():
     model = SwinUnet(n_channels=1, n_classes=1, img_size=32, patch_size=4,
                      embed_dim=12, depths=(1, 1, 1, 1),
