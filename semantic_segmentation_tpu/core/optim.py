@@ -93,22 +93,24 @@ class PlateauTracker:
         self.best = float("-inf") if self.mode == "max" else float("inf")
 
     def _improved(self, metric: float) -> bool:
+        # torch rel-threshold comparisons, no sign special-case
+        # (torch/optim/lr_scheduler.py ReduceLROnPlateau.is_better).
         if self.mode == "max":
-            ref = self.best * (1.0 + self.threshold) if self.best > 0 \
-                else self.best + self.threshold
-            return metric > ref
-        ref = self.best * (1.0 - self.threshold) if self.best > 0 \
-            else self.best - self.threshold
-        return metric < ref
+            return metric > self.best * (1.0 + self.threshold)
+        return metric < self.best * (1.0 - self.threshold)
 
     def step(self, metric: float) -> float:
+        """Exact torch ReduceLROnPlateau.step order: update best/num_bad,
+        then cooldown decrements unconditionally and zeroes num_bad, then
+        the patience check fires."""
         if self._improved(metric):
             self.best = metric
             self.num_bad = 0
-        elif self.cooldown_left > 0:
-            self.cooldown_left -= 1
         else:
             self.num_bad += 1
+        if self.cooldown_left > 0:
+            self.cooldown_left -= 1
+            self.num_bad = 0
         if self.num_bad > self.patience:
             self.lr = max(self.lr * self.factor, self.min_lr)
             self.num_bad = 0

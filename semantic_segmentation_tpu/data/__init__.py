@@ -3,6 +3,13 @@ from semantic_segmentation_tpu.data.folder import (  # noqa: F401
     PairedImageFolder,
     make_dataset,
 )
+from semantic_segmentation_tpu.data.extra import (  # noqa: F401
+    BSubtilisDataset,
+    DeePiCtDataset,
+    DiabeticDataset,
+    NibSliceDataset,
+    OmniposeDataset,
+)
 from semantic_segmentation_tpu.data.pipeline import (  # noqa: F401
     batch_iterator,
     eval_batches,

@@ -1,0 +1,204 @@
+"""In-memory loader families beyond the paired-folder clones.
+
+Covers the reference's remaining five 2D dataset families (SURVEY.md §2.1
+"Dataset loaders"), each of which loads the whole dataset into arrays up
+front and normalizes globally:
+
+- ``util/B_subtilis_data.py``   source/ + target_boundaries/ dirs, dataset
+  z-score image norm, mask ``arr > 0.01`` binarize.
+- ``util/omnipose_data.py``     ``*_img.tif`` / ``*_masks.tif`` pairing,
+  per-image min-max norm, mask ``> 0.01``.
+- ``util/diabetic_data.py``     ``*_img.jpg`` / ``*.png`` pairing, /255,
+  default 512px.
+- ``util/deepict_data.py``      single pickle with train/test features and
+  labels as NHWC arrays.
+- ``util/data_loading_nib.py:44-134``  nibabel per-file 2D images, per-image
+  min-max norm, raw transposed label arrays.
+
+Design note (TPU-first): the reference applies a stochastic host-side
+``RandomResizedCrop(img_size, scale=(0.7, 1))`` (util/transforms.py) plus,
+for deepict, host flip/rot90 per __getitem__. Here decode is deterministic —
+train items are resized to ``img_size``² so splits stack into device-resident
+arrays, and the stochastic crop/flip/rot augmentation runs *on device* inside
+the jitted step via ``ops/augment.py`` (scale/translate/flip/rot affine
+warps), which subsumes RandomResizedCrop's crop-and-resize and deepict's
+flip/rot90. Eval items follow torchvision eval semantics: shorter-side
+resize + center crop.
+
+Items are {"image": HWC float32, "mask": HW1 int32} — these families feed
+the supervised seg paths, which only consume the 2-key protocol.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import numpy as np
+from PIL import Image
+
+
+def _resize_shorter(a: np.ndarray, size: int, nearest: bool) -> np.ndarray:
+    """torchvision transforms.Resize(size) on HxW(xC): shorter side → size."""
+    h, w = a.shape[:2]
+    if h <= w:
+        nh, nw = size, max(1, int(round(w * size / h)))
+    else:
+        nh, nw = max(1, int(round(h * size / w))), size
+    return _resize_exact(a, nh, nw, nearest)
+
+
+def _resize_exact(a: np.ndarray, nh: int, nw: int, nearest: bool) -> np.ndarray:
+    squeeze = a.ndim == 2
+    if squeeze:
+        a = a[..., None]
+    resample = Image.NEAREST if nearest else Image.BILINEAR
+    chans = [np.asarray(
+        Image.fromarray(a[..., c].astype(np.float32), mode="F")
+        .resize((nw, nh), resample=resample)) for c in range(a.shape[-1])]
+    out = np.stack(chans, axis=-1)
+    return out[..., 0] if squeeze else out
+
+
+def _center_crop(a: np.ndarray, size: int) -> np.ndarray:
+    h, w = a.shape[:2]
+    top = max(0, (h - size) // 2)
+    left = max(0, (w - size) // 2)
+    return a[top:top + size, left:left + size]
+
+
+def _eval_resize(a: np.ndarray, size: int, nearest: bool) -> np.ndarray:
+    return _center_crop(_resize_shorter(a, size, nearest), size)
+
+
+def _train_resize(a: np.ndarray, size: int, nearest: bool) -> np.ndarray:
+    return _resize_exact(a, size, size, nearest)
+
+
+class ArrayPairs:
+    """Base: pre-decoded (image, mask) array lists with train/eval sizing."""
+
+    def __init__(self, images, masks, img_size: int, train: bool):
+        fit = _train_resize if train else _eval_resize
+        self.items = []
+        for img, m in zip(images, masks):
+            img = fit(np.asarray(img, np.float32), img_size, nearest=False)
+            if img.ndim == 2:
+                img = img[..., None]
+            m = fit(np.asarray(m, np.float32), img_size, nearest=True)
+            m = (m > 0.1).astype(np.int32)  # reference: (mask > 0.1).long()
+            if m.ndim == 3:
+                m = m[..., 0]
+            self.items.append({"image": img, "mask": m[..., None]})
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, idx):
+        return self.items[idx]
+
+
+class BSubtilisDataset(ArrayPairs):
+    """util/B_subtilis_data.py:11-63 — dataset-level z-score image norm;
+    masks from target_boundaries/ binarized > 0.01."""
+
+    def __init__(self, root: str, img_size: int = 256, train: bool = True):
+        imgs, masks = [], []
+        src = os.path.join(root, "source")
+        for f in sorted(os.listdir(src)):
+            imgs.append(np.asarray(Image.open(os.path.join(src, f)),
+                                   np.float32))
+            marr = np.asarray(
+                Image.open(os.path.join(root, "target_boundaries", f)),
+                np.float32)
+            masks.append((marr > 0.01).astype(np.float32))
+        flat = np.concatenate([i.ravel() for i in imgs])
+        mean, std = flat.mean(), flat.std()
+        imgs = [(i - mean) / (std + 1e-5) for i in imgs]
+        super().__init__(imgs, masks, img_size, train)
+
+
+class OmniposeDataset(ArrayPairs):
+    """util/omnipose_data.py:10-62 — *_img.tif/*_masks.tif, per-image
+    min-max norm, masks > 0.01."""
+
+    def __init__(self, root: str, img_size: int = 256, train: bool = True):
+        imgs, masks = [], []
+        for f in sorted(os.listdir(root)):
+            if not f.endswith("_img.tif"):
+                continue
+            a = np.asarray(Image.open(os.path.join(root, f)), np.float32)
+            a = (a - a.min()) / max(a.max() - a.min(), 1e-12)
+            imgs.append(a)
+            marr = np.asarray(Image.open(os.path.join(
+                root, f.replace("_img.tif", "_masks.tif"))), np.float32)
+            masks.append((marr > 0.01).astype(np.float32))
+        super().__init__(imgs, masks, img_size, train)
+
+
+class DiabeticDataset(ArrayPairs):
+    """util/diabetic_data.py:11-64 — *_img.jpg/*.png, /255, 512px default."""
+
+    def __init__(self, root: str, img_size: int = 512, train: bool = True):
+        imgs, masks = [], []
+        for f in sorted(os.listdir(root)):
+            if not f.endswith("_img.jpg"):
+                continue
+            imgs.append(np.asarray(Image.open(os.path.join(root, f)),
+                                   np.float32) / 255.0)
+            masks.append(np.asarray(Image.open(os.path.join(
+                root, f.replace("_img.jpg", ".png"))), np.float32))
+        super().__init__(imgs, masks, img_size, train)
+
+
+class DeePiCtDataset(ArrayPairs):
+    """util/deepict_data.py:12-66 — pickle {train,test}_{features,labels}
+    NHWC arrays; host flip/rot90 augmentation is replaced by the device
+    augment chain (module docstring)."""
+
+    def __init__(self, file: str, img_size: int = 256, train: bool = True):
+        with open(file, "rb") as f:
+            d = pickle.load(f)
+        key = "train" if train else "test"
+        feats = np.asarray(d[f"{key}_features"], np.float32)
+        labels = np.asarray(d[f"{key}_labels"], np.float32)
+        super().__init__(list(feats), list(labels), img_size, train)
+
+
+class NibSliceDataset:
+    """util/data_loading_nib.py:44-134 — per-file 2D nibabel images paired
+    by id glob; per-image min-max norm; labels kept as raw ids."""
+
+    def __init__(self, images_dir: str, masks_dir: str, mask_suffix: str = ""):
+        from pathlib import Path
+        self.images_dir = Path(images_dir)
+        self.masks_dir = Path(masks_dir)
+        self.mask_suffix = mask_suffix
+        self.ids = sorted(
+            os.path.splitext(f)[0].removesuffix(".nii")
+            for f in os.listdir(images_dir)
+            if not f.startswith(".") and
+            os.path.isfile(os.path.join(images_dir, f)))
+        if not self.ids:
+            raise RuntimeError(f"No input file found in {images_dir}")
+
+    def __len__(self):
+        return len(self.ids)
+
+    def _load(self, directory, stem):
+        from semantic_segmentation_tpu.data.nifti import read_nifti
+        files = list(directory.glob(stem + ".*"))
+        assert len(files) == 1, f"expected exactly one file for {stem}: {files}"
+        data, _ = read_nifti(str(files[0]))
+        return data
+
+    def __getitem__(self, idx):
+        name = self.ids[idx]
+        img = self._load(self.images_dir, name).astype(np.float32)
+        mask = self._load(self.masks_dir, name + self.mask_suffix)
+        if img.ndim == 2:
+            img = img[..., None]
+        img = (img - img.min()) / max(img.max() - img.min(), 1e-12)
+        if mask.ndim == 3:
+            mask = mask[..., 0]
+        return {"image": img, "mask": mask.astype(np.int32)[..., None]}

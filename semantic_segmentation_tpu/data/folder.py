@@ -44,11 +44,28 @@ def _equalize_gamma(im: Image.Image):
 
 @dataclass(frozen=True)
 class DatasetSpec:
-    """Per-dataset policy knobs distinguishing the reference's loader clones."""
+    """Per-dataset policy knobs distinguishing the reference's loader clones.
+
+    mask_policy controls label decode:
+      - "div255": ``(arr/255).long()`` — reference JSRT/ISIC binary masks
+        (JSRT_loader.py:47-49). Floors 1..254 to 0; binary-only by design.
+      - "binary_gt0": ``(arr > 0)`` — SE_loader.py:51.
+      - "ids": raw integer label ids (liver3_loader.py:50-52 keeps the
+        uint8 values and ``.long()``s them) — REQUIRED for classes>1, where
+        div255 would silently destroy the labels.
+    image_norm: "div255" (most loaders) or "minmax" per-image
+    (liver3_loader.py:48).
+    equalize_gamma_mask: liver3's ``load()`` applies equalize+gamma to BOTH
+    copies including the mask file (liver3_loader.py:62).
+    """
     rgb: bool = False                 # image channels (ISIC True)
     equalize_gamma: bool = True       # JSRT/Breast True; ISIC False
     mask_nearest: bool = False        # ISIC resizes masks with NEAREST
     image_size: int = 256
+    mask_policy: str = "div255"       # div255 | binary_gt0 | ids
+    image_norm: str = "div255"        # div255 | minmax
+    equalize_gamma_mask: bool = False
+    classes: int = 1
 
 
 DATASET_SPECS: dict[str, DatasetSpec] = {
@@ -63,6 +80,15 @@ DATASET_SPECS: dict[str, DatasetSpec] = {
     "dermis": DatasetSpec(rgb=True, equalize_gamma=False, mask_nearest=True),
     "cell": DatasetSpec(equalize_gamma=False),
     "fetoscopy": DatasetSpec(rgb=True, equalize_gamma=False),
+    # util/SE_loader.py: native-mode image, /255; mask NEAREST + (arr>0)
+    "se": DatasetSpec(equalize_gamma=False, mask_nearest=True,
+                      mask_policy="binary_gt0"),
+    # util/liver_data.py: grayscale, no equalize (commented out), /255 both
+    "liver": DatasetSpec(equalize_gamma=False),
+    # util/liver3_loader.py: equalize+gamma on BOTH files, per-image min-max
+    # image norm, raw integer mask ids
+    "liver3": DatasetSpec(equalize_gamma=True, equalize_gamma_mask=True,
+                          image_norm="minmax", mask_policy="ids"),
 }
 
 
@@ -90,9 +116,11 @@ class PairedImageFolder:
         assert len(files) == 1, f"expected exactly one file for {stem}: {files}"
         return files[0]
 
-    def _open(self, path, seg_copy: bool):
+    def _open(self, path, seg_copy: bool, is_mask: bool = False):
         im = Image.open(path)
-        if seg_copy and self.spec.equalize_gamma:
+        eq = (self.spec.equalize_gamma_mask if is_mask
+              else self.spec.equalize_gamma)
+        if seg_copy and eq:
             im = _equalize_gamma(im)
         return im
 
@@ -105,18 +133,30 @@ class PairedImageFolder:
 
         def img_arr(im: Image.Image):
             im = im.convert("RGB" if self.spec.rgb else "L").resize(size)
-            a = np.asarray(im, dtype=np.float32) / 255.0
+            a = np.asarray(im, dtype=np.float32)
+            if self.spec.image_norm == "minmax":
+                a = (a - a.min()) / max(a.max() - a.min(), 1e-12)
+            else:
+                a = a / 255.0
             return a[..., None] if a.ndim == 2 else a
 
         def mask_arr(im: Image.Image):
             im = im.convert("L").resize(size, resample=mask_resample)
-            return (np.asarray(im, dtype=np.float32) / 255.0).astype(np.int32)[..., None]
+            a = np.asarray(im)
+            if self.spec.mask_policy == "binary_gt0":
+                m = (a > 0).astype(np.int32)
+            elif self.spec.mask_policy == "ids" or self.spec.classes > 1:
+                m = np.asarray(a, dtype=np.int32)  # raw label ids, no /255
+            else:
+                m = (a.astype(np.float32) / 255.0).astype(np.int32)
+            return m[..., None]
 
         return {
             "image": img_arr(self._open(img_file, seg_copy=True)),
-            "mask": mask_arr(self._open(mask_file, seg_copy=True)),
+            "mask": mask_arr(self._open(mask_file, seg_copy=True, is_mask=True)),
             "image_pix2pix": img_arr(self._open(img_file, seg_copy=False)),
-            "mask_pix2pix": mask_arr(self._open(mask_file, seg_copy=False)),
+            "mask_pix2pix": mask_arr(self._open(mask_file, seg_copy=False,
+                                                is_mask=True)),
         }
 
 

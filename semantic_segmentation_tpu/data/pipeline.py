@@ -30,11 +30,22 @@ def subset_split(n_total: int, n_train: int, n_val: int, n_test: int):
             idx[n_total - n_test:] if n_test else [])
 
 
+def _check_nonempty_epoch(n: int, batch_size: int, drop_last: bool):
+    """drop_last with batch_size > split size yields ZERO batches per epoch;
+    an infinite stream built on top of it would spin forever. Fail loudly."""
+    if drop_last and n - (n % batch_size) == 0:
+        raise ValueError(
+            f"batch_size={batch_size} > split size {n} with drop_last=True "
+            "produces zero batches per epoch; lower batch_size or pass "
+            "drop_last=False")
+
+
 def batch_iterator(data: Mapping[str, np.ndarray], batch_size: int,
                    rng: np.random.Generator | None = None,
                    shuffle: bool = True, drop_last: bool = True):
     """One epoch of batches (dicts of stacked arrays)."""
     n = len(next(iter(data.values())))
+    _check_nonempty_epoch(n, batch_size, drop_last)
     order = np.arange(n)
     if shuffle:
         assert rng is not None
@@ -68,6 +79,7 @@ def epoch_index_batches(n: int, batch_size: int, seed: int,
     """Infinite stream of shuffled INDEX batches. With device-resident splits
     the trainer slices on device per step instead of shipping pixels over
     PCIe — the input-pipeline cost of a step becomes a few tiny gathers."""
+    _check_nonempty_epoch(n, batch_size, drop_last)
     epoch = 0
     while True:
         rng = np.random.default_rng((seed, epoch))

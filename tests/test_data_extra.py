@@ -1,0 +1,150 @@
+"""Loader-family parity: SE/liver/liver3 folder specs, multi-class masks,
+and the in-memory families (B_subtilis, omnipose, diabetic, deepict, nib)."""
+import pickle
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from semantic_segmentation_tpu.data import PairedImageFolder, make_dataset
+from semantic_segmentation_tpu.data.extra import (
+    BSubtilisDataset, DeePiCtDataset, DiabeticDataset, NibSliceDataset,
+    OmniposeDataset)
+from semantic_segmentation_tpu.data.folder import DatasetSpec
+
+
+@pytest.fixture
+def folder(tmp_path):
+    (tmp_path / "Images").mkdir()
+    (tmp_path / "Masks").mkdir()
+    rng = np.random.default_rng(7)
+    for i in range(2):
+        Image.fromarray(rng.integers(0, 255, (64, 64), np.uint8), "L").save(
+            tmp_path / "Images" / f"c{i}.png")
+        m = np.zeros((64, 64), np.uint8)
+        m[10:30, 10:30] = 1      # low-intensity label — lost by /255 floor
+        m[30:50, 30:50] = 2
+        Image.fromarray(m, "L").save(tmp_path / "Masks" / f"c{i}.png")
+    return tmp_path
+
+
+def test_multiclass_ids_policy_preserves_labels(folder):
+    """ADVICE r1: (x/255).astype(int32) floors 1..254 to 0. classes>1 must
+    decode raw ids (liver3_loader.py:50-52 semantics)."""
+    ds = PairedImageFolder(str(folder / "Images"), str(folder / "Masks"),
+                           spec=DatasetSpec(equalize_gamma=False,
+                                            mask_policy="ids", classes=3,
+                                            image_size=64))
+    m = ds[0]["mask"]
+    assert set(np.unique(m)) == {0, 1, 2}
+    # default div255 policy would destroy them
+    ds2 = PairedImageFolder(str(folder / "Images"), str(folder / "Masks"),
+                            spec=DatasetSpec(equalize_gamma=False,
+                                             image_size=64))
+    assert set(np.unique(ds2[0]["mask"])) == {0}
+
+
+def test_se_spec_binarizes_gt0(folder):
+    ds = make_dataset("se", str(folder))
+    assert ds.spec.mask_policy == "binary_gt0"
+    item = PairedImageFolder(
+        str(folder / "Images"), str(folder / "Masks"),
+        spec=DatasetSpec(equalize_gamma=False, mask_policy="binary_gt0",
+                         mask_nearest=True, image_size=64))[0]
+    assert set(np.unique(item["mask"])) == {0, 1}  # SE_loader.py:51 (arr>0)
+
+
+def test_liver3_spec_minmax_and_mask_equalize(folder):
+    spec = make_dataset("liver3", str(folder)).spec
+    assert spec.image_norm == "minmax" and spec.equalize_gamma_mask
+    ds = PairedImageFolder(str(folder / "Images"), str(folder / "Masks"),
+                           spec=DatasetSpec(image_norm="minmax",
+                                            equalize_gamma_mask=True,
+                                            mask_policy="ids", image_size=64))
+    img = ds[0]["image"]
+    assert abs(img.min()) < 1e-6 and abs(img.max() - 1.0) < 1e-6
+
+
+def _write_gray(path, arr):
+    Image.fromarray(arr.astype(np.uint8), "L").save(path)
+
+
+def test_bsubtilis_family(tmp_path):
+    (tmp_path / "source").mkdir()
+    (tmp_path / "target_boundaries").mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        _write_gray(tmp_path / "source" / f"f{i}.png",
+                    rng.integers(0, 255, (40, 48)))
+        m = np.zeros((40, 48))
+        m[5:20, 5:20] = 2  # discrete values in [0,1,2] per the reference
+        _write_gray(tmp_path / "target_boundaries" / f"f{i}.png", m)
+    tr = BSubtilisDataset(str(tmp_path), img_size=32, train=True)
+    assert len(tr) == 3
+    it = tr[0]
+    assert it["image"].shape == (32, 32, 1)
+    assert set(np.unique(it["mask"])) <= {0, 1}
+    # dataset-level z-score: pooled mean ~0 across images
+    pooled = np.concatenate([tr[i]["image"].ravel() for i in range(3)])
+    assert abs(pooled.mean()) < 0.3
+    ev = BSubtilisDataset(str(tmp_path), img_size=32, train=False)
+    assert ev[0]["image"].shape == (32, 32, 1)  # shorter-side + center crop
+
+
+def test_omnipose_family(tmp_path):
+    rng = np.random.default_rng(1)
+    for i in range(2):
+        _write_gray(tmp_path / f"s{i}_img.tif", rng.integers(10, 250, (36, 36)))
+        m = (rng.random((36, 36)) > 0.5) * 200.0
+        _write_gray(tmp_path / f"s{i}_masks.tif", m)
+    ds = OmniposeDataset(str(tmp_path), img_size=32, train=True)
+    assert len(ds) == 2
+    img = ds[0]["image"]
+    assert img.min() >= -1e-5 and img.max() <= 1 + 1e-5  # per-image min-max
+
+
+def test_diabetic_family(tmp_path):
+    rng = np.random.default_rng(2)
+    for i in range(2):
+        Image.fromarray(rng.integers(0, 255, (40, 40, 3), np.uint8)).save(
+            tmp_path / f"d{i}_img.jpg")
+        _write_gray(tmp_path / f"d{i}.png",
+                    (rng.random((40, 40)) > 0.7) * 255.0)
+    ds = DiabeticDataset(str(tmp_path), img_size=32, train=True)
+    it = ds[0]
+    assert it["image"].shape == (32, 32, 3)
+    assert it["image"].max() <= 1 + 1e-5
+
+
+def test_deepict_pickle_family(tmp_path):
+    rng = np.random.default_rng(3)
+    d = {"train_features": rng.random((4, 48, 48, 1)).astype(np.float32),
+         "train_labels": (rng.random((4, 48, 48, 1)) > 0.5).astype(np.float32),
+         "test_features": rng.random((2, 48, 48, 1)).astype(np.float32),
+         "test_labels": (rng.random((2, 48, 48, 1)) > 0.5).astype(np.float32)}
+    p = tmp_path / "deepict.pkl"
+    with open(p, "wb") as f:
+        pickle.dump(d, f)
+    tr = DeePiCtDataset(str(p), img_size=32, train=True)
+    te = DeePiCtDataset(str(p), img_size=32, train=False)
+    assert len(tr) == 4 and len(te) == 2
+    assert tr[0]["image"].shape == (32, 32, 1)
+    assert tr[0]["mask"].dtype == np.int32
+
+
+def test_nib_slice_family(tmp_path):
+    from semantic_segmentation_tpu.data.nifti import write_nifti
+    (tmp_path / "imgs").mkdir()
+    (tmp_path / "masks").mkdir()
+    rng = np.random.default_rng(4)
+    for i in range(2):
+        img = rng.normal(size=(30, 30, 1)).astype(np.float32)
+        m = rng.integers(0, 3, (30, 30, 1)).astype(np.float32)
+        write_nifti(str(tmp_path / "imgs" / f"v{i}.nii.gz"), img)
+        write_nifti(str(tmp_path / "masks" / f"v{i}.nii.gz"), m)
+    ds = NibSliceDataset(str(tmp_path / "imgs"), str(tmp_path / "masks"))
+    assert len(ds) == 2
+    it = ds[0]
+    assert it["image"].shape == (30, 30, 1)
+    assert abs(it["image"].min()) < 1e-6 and abs(it["image"].max() - 1) < 1e-6
+    assert set(np.unique(it["mask"])) <= {0, 1, 2}  # raw ids preserved

@@ -67,3 +67,20 @@ def test_plateau_tracker_reduces_after_patience():
     for _ in range(4):
         lr = t.step(0.5)  # no improvement
     assert lr == 0.5
+
+
+def test_plateau_tracker_matches_torch_with_cooldown(rng_np):
+    """Trajectory-exact vs torch ReduceLROnPlateau incl. cooldown semantics."""
+    for mode in ("max", "min"):
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.SGD([p], lr=1.0)
+        sched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+            opt, mode=mode, factor=0.5, patience=2, threshold=1e-4,
+            cooldown=3)
+        t = PlateauTracker(base_lr=1.0, patience=2, factor=0.5,
+                           threshold=1e-4, cooldown=3, mode=mode)
+        metrics = rng_np.normal(size=60).astype(np.float64)
+        for m in metrics:
+            sched.step(float(m))
+            lr = t.step(float(m))
+            assert abs(lr - opt.param_groups[0]["lr"]) < 1e-12

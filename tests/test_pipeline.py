@@ -70,3 +70,15 @@ def test_make_dataset_specs(image_folder):
     ds = make_dataset("jsrt", str(image_folder), "_mask")
     assert ds.spec.equalize_gamma
     assert not ds.spec.rgb
+
+
+def test_batch_size_larger_than_split_raises():
+    """drop_last + batch_size > n must fail loudly, not spin forever."""
+    from semantic_segmentation_tpu.data.pipeline import epoch_index_batches
+    data = stack_dataset(SyntheticSegDataset(n=2, size=16))
+    with pytest.raises(ValueError):
+        list(batch_iterator(data, 4, np.random.default_rng(0)))
+    with pytest.raises(ValueError):
+        next(epoch_index_batches(2, 4, seed=0))
+    # non-drop_last path still fine
+    assert len(list(eval_batches(data, 4))) == 1
