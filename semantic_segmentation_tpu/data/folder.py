@@ -161,8 +161,32 @@ class PairedImageFolder:
 
 
 def make_dataset(name: str, root: str, mask_suffix: str = "",
-                 images_sub: str = "Images", masks_sub: str = "Masks"):
-    spec = DATASET_SPECS.get(name.lower(), DatasetSpec())
+                 images_sub: str = "Images", masks_sub: str = "Masks",
+                 image_size: int | None = None):
+    """Single constructor for every loader family. Folder families come from
+    DATASET_SPECS; the in-memory families (data/extra.py) are dispatched by
+    name — ``deepict`` points at a pickle file, ``deepict_test`` selects its
+    test split, ``nib`` reads per-file NIfTI 2D images."""
+    key = name.lower()
+    if key in ("b_subtilis", "bsubtilis", "omnipose", "diabetic",
+               "deepict", "deepict_test", "nib"):
+        from semantic_segmentation_tpu.data import extra
+        if key in ("b_subtilis", "bsubtilis"):
+            return extra.BSubtilisDataset(root, image_size or 256)
+        if key == "omnipose":
+            return extra.OmniposeDataset(root, image_size or 256)
+        if key == "diabetic":
+            return extra.DiabeticDataset(root, image_size or 512)
+        if key.startswith("deepict"):
+            return extra.DeePiCtDataset(root, image_size or 256,
+                                        train=key == "deepict")
+        return extra.NibSliceDataset(os.path.join(root, images_sub),
+                                     os.path.join(root, masks_sub),
+                                     mask_suffix=mask_suffix)
+    spec = DATASET_SPECS.get(key, DatasetSpec())
+    if image_size and image_size != spec.image_size:
+        from dataclasses import replace
+        spec = replace(spec, image_size=image_size)
     return PairedImageFolder(os.path.join(root, images_sub),
                              os.path.join(root, masks_sub),
                              mask_suffix=mask_suffix, spec=spec)

@@ -25,7 +25,8 @@ def load_splits(cfg: Config):
         ds = SyntheticSegDataset(n=n, size=d.image_size,
                                  channels=cfg.model.input_nc, seed=cfg.run.seed)
     else:
-        ds = make_dataset(d.dataset, d.dataroot, d.mask_suffix)
+        ds = make_dataset(d.dataset, d.dataroot, d.mask_suffix,
+                          image_size=d.image_size)
     tr, va, te = subset_split(len(ds), d.n_train, d.n_val, d.n_test)
     splits = {
         "train": stack_dataset(ds, tr),
