@@ -69,6 +69,8 @@ class OptimConfig:
     lambda_L1: float = 100.0
     loss_lambda: float = 1.0         # weight of fake-image seg loss
     lr_policy: str = "linear"
+    n_epochs: int = 10000            # pretrain scripts pass --n_epochs 10000
+    epoch_count: int = 1
     n_epochs_decay: int = 100
     lr_decay_iters: int = 50
     plateau_patience: int = 5        # ReduceLROnPlateau(max, patience=5)
@@ -85,7 +87,11 @@ class EngineConfig:
     hypergrad: str = "darts"         # darts (reference parity) | unroll (exact) | none
     darts_epsilon: float = 0.01      # finite-difference r / ||v||
     detach_fakes: bool = True        # reference detaches G(fakes) in unet step
-    fake_postprocess: str = "uint8_chain"  # uint8_chain (parity) | minmax (differentiable)
+    fake_postprocess: str = "uint8_chain"  # uint8_chain (parity) | photometric (ISIC fake_trans) | minmax (differentiable)
+    # darts children of the arch problem (Betty u2l edges). NOTE: the
+    # reference-parity default is STRUCTURALLY ZERO (see engine/bilevel.py
+    # module docstring) — both reference wirings are too.
+    arch_children: tuple = ("netG",)
 
 
 @dataclass
@@ -134,6 +140,10 @@ PRESETS: dict[str, dict[str, Any]] = {
     # scripts/train_end2end_isic.sh: 40 labeled (32+8), 594 test, jaccard loss
     "end2end_isic": {"data.dataset": "isic", "data.n_train": 32,
                      "data.n_val": 8, "data.n_test": 594,
+                     # ISIC postprocesses fakes with the fake_trans
+                     # photometric chain, not the JSRT equalize+gamma chain
+                     # (train_end2end_isic.py:178-183, applied :264)
+                     "engine.fake_postprocess": "photometric",
                      "run.name": "end2end-ISIC-40-unet"},
     # Swin-UNet ISIC variant (util/ISIC_224_loader.py + --seg_model vit):
     # 224 inputs; resnet generator (any-size) instead of the 256-only unet G
@@ -141,7 +151,15 @@ PRESETS: dict[str, dict[str, Any]] = {
                         "data.n_train": 32, "data.n_val": 8,
                         "data.n_test": 594, "model.seg_model": "vit",
                         "model.netG": "resnet_9blocks",
+                        "engine.fake_postprocess": "photometric",
                         "run.name": "end2end-ISIC224-swin"},
+    # LIVE architecture search (beyond reference parity — the reference's
+    # darts wiring is structurally zero, engine/bilevel.py docstring): exact
+    # unrolled hypergradient through the generator into the arch variables.
+    "end2end_nas": {"engine.hypergrad": "unroll",
+                    "engine.detach_fakes": False,
+                    "engine.fake_postprocess": "minmax",
+                    "run.name": "end2end-JSRT-9-nas"},
     # GenSeg-3D/train_end2end.sh: hippocampus 98 volumes, 78/20
     "end2end_3d": {"data.n_train": 68, "data.n_val": 10, "data.n_test": 20,
                    "optim.lr": 2e-4, "run.name": "end2end-3d"},

@@ -26,6 +26,21 @@ engine iteration is ONE pure jitted function over explicit state pytrees:
 
 Betty's module-attribute injection (``self.netG``/``self.unet``) becomes
 explicit: every problem's loss closure receives the full EngineState.
+
+REFERENCE-PARITY DEGENERACY (important): in BOTH reference end2end wirings
+the darts hypergradient is *identically zero*. JSRT (train_end2end_jsrt.py:
+335-339) declares ``u2l={arch:[netG]}`` while the Arch loss only touches the
+unet, so v = dL_val/dw_netG = 0 and the finite difference vanishes; ISIC
+(train_end2end_isic.py:399) keeps ``u2l={arch:[netG]}`` and additionally
+detaches the fake image inside the unet problem (:263), so every term is
+still exactly zero — the arch variables move only through Adam weight decay
+(wd=1e-5). This engine reproduces that behavior under the default config
+(``hypergrad='darts'``, ``arch_children=('netG',)``, ``detach_fakes=True``)
+and logs ``arch_grad_norm`` so the degeneracy is visible. For a LIVE
+architecture search use the ``end2end_nas`` preset: ``hypergrad='unroll'``
++ ``detach_fakes=False`` + ``fake_postprocess='minmax'`` differentiates the
+validation loss through the generator into the arch — a capability the
+torch/Betty wiring never actually exercised.
 """
 
 from __future__ import annotations

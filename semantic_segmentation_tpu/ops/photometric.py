@@ -58,16 +58,30 @@ def adjust_saturation_uint8(img_u8, factor):
     return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
 
 
-def random_photometric(rng, img_u8):
-    """The fake_trans pipeline on a uint8 batch (N, H, W, C)."""
-    k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
+def random_photometric(rng, img_u8, per_image: bool = False):
+    """The fake_trans pipeline on a uint8 batch (N, H, W, C).
+
+    Coin-flip granularity: the reference applies ``fake_trans`` to the WHOLE
+    batched tensor at once (train_end2end_isic.py:264), and torchvision's
+    RandomEqualize/RandomAdjustSharpness/... draw ONE ``torch.rand(1)`` per
+    forward — so batch-level coins (the default) are exact parity.
+    ``per_image=True`` is the richer variant: independent coins and
+    saturation factors per image, restoring the diversity a per-sample
+    DataLoader pipeline would have had."""
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    shape = (img_u8.shape[0], 1, 1, 1) if per_image else ()
+
+    def coin(k):
+        b = jax.random.bernoulli(k, 0.5, shape=(img_u8.shape[0],) if per_image
+                                 else ())
+        return b.reshape(shape) if per_image else b
+
     out = img_u8
-    out = jnp.where(jax.random.bernoulli(k1, 0.5), equalize_uint8(out), out)
+    out = jnp.where(coin(k1), equalize_uint8(out), out)
     out = posterize_uint8(out, 4)
-    out = jnp.where(jax.random.bernoulli(k2, 0.5),
-                    adjust_sharpness_uint8(out, 0.3), out)
-    out = jnp.where(jax.random.bernoulli(k3, 0.5), autocontrast_uint8(out),
-                    out)
-    sat = jax.random.uniform(k4, minval=0.5, maxval=1.5)
-    out = adjust_saturation_uint8(out, sat)
+    out = jnp.where(coin(k2), adjust_sharpness_uint8(out, 0.3), out)
+    out = jnp.where(coin(k3), autocontrast_uint8(out), out)
+    sat = jax.random.uniform(k4, shape=(img_u8.shape[0],) if per_image else (),
+                             minval=0.5, maxval=1.5)
+    out = adjust_saturation_uint8(out, sat.reshape(shape) if per_image else sat)
     return out

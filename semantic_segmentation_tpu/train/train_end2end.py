@@ -50,7 +50,7 @@ def build_problems(cfg: Config, p2p: Pix2Pix, seg: SegProblem):
     gan_mode, lambda_L1 = cfg.optim.gan_mode, cfg.optim.lambda_L1
     loss_lambda = cfg.optim.loss_lambda
     detach = cfg.engine.detach_fakes
-    uint8_chain = cfg.engine.fake_postprocess == "uint8_chain"
+    postprocess = cfg.engine.fake_postprocess
 
     def g_forward(state, arch, mask, rng, g_params=None):
         fake, g_stats = p2p.g_apply(
@@ -86,7 +86,7 @@ def build_problems(cfg: Config, p2p: Pix2Pix, seg: SegProblem):
         return loss, {"netG": g_stats, "netD": d_stats}
 
     def loss_unet(u_params, state, arch, batch, rng):
-        rng_aug, rng_drop = jax.random.split(rng)
+        rng_aug, rng_drop, rng_phot = jax.random.split(rng, 3)
         images = batch["image"].astype(jnp.float32)
         masks = batch["mask"].astype(jnp.float32)
 
@@ -103,8 +103,17 @@ def build_problems(cfg: Config, p2p: Pix2Pix, seg: SegProblem):
                                           arch["upconv"], True, rng_drop)
         if detach:
             fake_image = jax.lax.stop_gradient(fake_image)
-        if uint8_chain:
+        if postprocess == "uint8_chain":
             fake_image = iops.equalize_gamma_chain(fake_image, 0.5)
+        elif postprocess == "photometric":
+            # ISIC fake_trans (train_end2end_isic.py:178-183, applied :264):
+            # global min-max -> uint8 quantize -> RandomEqualize/Posterize/
+            # Sharpness/Autocontrast/ColorJitter -> /255
+            from semantic_segmentation_tpu.ops.photometric import (
+                random_photometric)
+            u8 = iops.to_uint8(iops.minmax_normalize(fake_image))
+            fake_image = random_photometric(rng_phot, u8).astype(
+                jnp.float32) / 255.0
         else:
             fake_image = iops.minmax_normalize(fake_image)
         fake_logits, u_stats = seg.apply(u_params, u_stats, fake_image,
@@ -158,7 +167,8 @@ def build_engine_and_state(cfg: Config, rng):
                            unroll_steps=cfg.engine.unroll_steps,
                            roll_back=cfg.engine.roll_back,
                            hypergrad=cfg.engine.hypergrad,
-                           darts_epsilon=cfg.engine.darts_epsilon)
+                           darts_epsilon=cfg.engine.darts_epsilon,
+                           arch_children=tuple(cfg.engine.arch_children))
     state = engine.init(
         params={"netG": p2p_state.g_params, "netD": p2p_state.d_params,
                 "unet": seg_state.params},
@@ -196,6 +206,15 @@ def train(cfg: Config, train_iters: int | None = None):
         if restored is not None:
             state, start_it = restored, int(step)
             log.info("resumed from checkpoint at step %d", start_it)
+
+    if (cfg.engine.hypergrad == "darts"
+            and set(cfg.engine.arch_children) <= {"netG", "netD"}):
+        log.info(
+            "NOTE: darts hypergradient is structurally ZERO under this "
+            "config (outer loss touches only the unet; both reference "
+            "wirings share the degeneracy — engine/bilevel.py docstring). "
+            "arch moves only via Adam weight decay. For live NAS use "
+            "--preset=end2end_nas.")
 
     K = cfg.engine.unroll_steps
     n_train = len(next(iter(splits["train"].values())))

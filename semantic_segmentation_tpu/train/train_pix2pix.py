@@ -14,6 +14,7 @@ import numpy as np
 
 from semantic_segmentation_tpu.core.config import Config, parse_config
 from semantic_segmentation_tpu.core.logging_utils import MetricsLogger
+from semantic_segmentation_tpu.core.optim import lr_schedule, set_learning_rate
 from semantic_segmentation_tpu.data.pipeline import batch_iterator
 from semantic_segmentation_tpu.models.pix2pix.model import Pix2Pix
 from semantic_segmentation_tpu.train.common import load_splits
@@ -42,9 +43,25 @@ def train(cfg: Config, n_epochs: int | None = None, train_iters: int | None = No
                         cfg.run.name, cfg.to_dict())
     root = jax.random.key(cfg.run.seed + 1)
 
+    # model.update_learning_rate() at the start of every epoch
+    # (train_pix2pix_lung.py:66 -> base_model.py:115 -> networks.py:44-70).
+    # The canonical scripts pass --n_epochs 10000, so the linear multiplier
+    # stays 1.0 over their 100-200 epochs — but the mechanism is live here
+    # for any other policy/horizon.
+    sched = (None if cfg.optim.lr_policy == "plateau" else
+             lr_schedule(cfg.optim.lr_policy, cfg.optim.lr, cfg.optim.n_epochs,
+                         epoch_count=cfg.optim.epoch_count,
+                         n_epochs_decay=cfg.optim.n_epochs_decay,
+                         lr_decay_iters=cfg.optim.lr_decay_iters))
     step, epoch = 0, 0
     max_iters = train_iters or cfg.engine.train_iters
     while step < max_iters and (n_epochs is None or epoch < n_epochs):
+        if sched is not None:
+            # torch LambdaLR has stepped (epoch + 1) times by the time this
+            # epoch's batches run (construction + one step per epoch start)
+            lr_now = sched(epoch + 1)
+            set_learning_rate(state.opt_g, lr_now)
+            set_learning_rate(state.opt_d, lr_now)
         rng_np = np.random.default_rng((cfg.run.seed, epoch))
         for batch in batch_iterator(splits["train"], cfg.data.batch_size, rng_np):
             state, metrics = model.train_step(

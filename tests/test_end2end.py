@@ -62,3 +62,41 @@ def test_end2end_unroll_exact_mode(tmp_path):
     state, metrics = engine.engine_step(state, bs, batch, jax.random.key(1))
     assert float(metrics["arch_grad_norm"]) > 0
     assert not np.allclose(np.asarray(state.arch["upconv"]), arch_before)
+
+
+def test_end2end_isic_preset_photometric_smoke(tmp_path):
+    """Drives --preset=end2end_isic through parse_config: the ISIC preset
+    must select the fake_trans photometric postprocess
+    (train_end2end_isic.py:178-183), and the resulting program must train."""
+    from semantic_segmentation_tpu.train.train_end2end import train
+    cfg = parse_config(
+        ["--data.synthetic=true", "--data.image_size=32", "--data.n_train=4",
+         "--data.n_val=2", "--data.n_test=2", "--model.compute_dtype=float32",
+         "--model.netG=unet_32", "--model.ngf=8", "--model.ndf=8",
+         "--model.base_features=8", "--engine.valid_step=2",
+         f"--run.save_dir={tmp_path}"], preset="end2end_isic")
+    assert cfg.engine.fake_postprocess == "photometric"
+    state, results = train(cfg, train_iters=2)
+    assert np.isfinite(results["best_val"])
+
+
+def test_photometric_per_image_varies_within_batch():
+    """per_image=True draws independent coins per image; identical inputs
+    should diverge under some key (batch-level mode keeps them identical)."""
+    import jax.numpy as jnp
+    from semantic_segmentation_tpu.ops.photometric import random_photometric
+    rng = np.random.default_rng(3)
+    one = rng.integers(0, 255, (1, 16, 16, 3)).astype(np.uint8)
+    batch = jnp.asarray(np.repeat(one, 4, axis=0))
+    for s in range(8):
+        out_b = random_photometric(jax.random.key(s), batch, per_image=False)
+        ob = np.asarray(out_b)
+        assert all(np.array_equal(ob[0], ob[i]) for i in range(4))
+    diverged = False
+    for s in range(8):
+        op = np.asarray(random_photometric(jax.random.key(s), batch,
+                                           per_image=True))
+        if any(not np.array_equal(op[0], op[i]) for i in range(4)):
+            diverged = True
+            break
+    assert diverged
