@@ -18,14 +18,22 @@ import orbax.checkpoint as ocp
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, max_to_keep: int = 3):
+    def __init__(self, directory: str, max_to_keep: int = 3,
+                 best_key: str | None = "val_score", best_mode: str = "max"):
+        """``best_key``/``best_mode`` parameterize retention: the e2e
+        trainers keep best-val-Dice (max), the BBDM runner keeps
+        top-k-by-val-loss (min, BaseRunner.py:461-470). ``best_key=None``
+        keeps the most recent ``max_to_keep`` (a plain 'latest' manager)."""
         self._dir = os.path.abspath(directory)
         os.makedirs(self._dir, exist_ok=True)
+        default = 0.0 if best_mode == "max" else float("inf")
         self._mgr = ocp.CheckpointManager(
             self._dir,
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=max_to_keep, create=True,
-                best_fn=lambda m: m.get("val_score", 0.0), best_mode="max",
+                best_fn=(None if best_key is None
+                         else lambda m: m.get(best_key, default)),
+                best_mode=best_mode,
             ),
         )
 

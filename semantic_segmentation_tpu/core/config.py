@@ -75,6 +75,7 @@ class OptimConfig:
     lr_decay_iters: int = 50
     plateau_patience: int = 5        # ReduceLROnPlateau(max, patience=5)
     plateau_factor: float = 0.1
+    accumulate: int = 1              # BBDM accumulate_grad_batches
 
 
 @dataclass
@@ -108,10 +109,13 @@ class RunConfig:
     seed: int = 0
     log_every: int = 10
     save_every: int = 0              # 0 = only best-val
+    topk_checkpoints: int = 3        # BBDM top-k-by-val-loss retention
     wandb: bool = False
     wandb_project: str = "end2end-JSRT"
     profile_dir: str = ""            # jax.profiler trace dir ('' = off)
-    data_axis: int = 0               # mesh size 0 = all visible devices
+    data_axis: int = 1               # data-parallel mesh size: 1 = off,
+                                     # 0 = all visible devices, n = first n
+                                     # (batch_size must divide the mesh size)
     amp: bool = True                 # kept for CLI familiarity
 
 

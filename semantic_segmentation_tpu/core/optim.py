@@ -92,6 +92,18 @@ class PlateauTracker:
         self.lr = self.base_lr
         self.best = float("-inf") if self.mode == "max" else float("inf")
 
+    def state_dict(self) -> dict:
+        """Mutable trajectory fields (for preemption-safe resume)."""
+        return {"best": float(self.best), "num_bad": float(self.num_bad),
+                "cooldown_left": float(self.cooldown_left),
+                "lr": float(self.lr)}
+
+    def load_state_dict(self, d: dict):
+        self.best = float(d["best"])
+        self.num_bad = int(d["num_bad"])
+        self.cooldown_left = int(d["cooldown_left"])
+        self.lr = float(d["lr"])
+
     def _improved(self, metric: float) -> bool:
         # torch rel-threshold comparisons, no sign special-case
         # (torch/optim/lr_scheduler.py ReduceLROnPlateau.is_better).

@@ -306,3 +306,23 @@ class BilevelEngine:
         state, metrics = jax.lax.scan(
             body, state, (jnp.arange(S), idx_chunk, val_idx_chunk))
         return state, jax.tree.map(lambda x: x[-1], metrics)
+
+    @partial(jax.jit, static_argnames=("self",))
+    def engine_run_chunk_batched(self, state: EngineState, batch_chunk,
+                                 val_chunk, step0, rng):
+        """S engine iterations over PRE-GATHERED batch stacks. ``batch_chunk``:
+        name -> pytree with leading (S, K) axes; ``val_chunk``: leading (S,).
+        Used by the data-parallel trainer: gathering outside (with explicit
+        output shardings) keeps the batch axis sharded over the mesh, which
+        the index-gather form cannot express unambiguously under SPMD."""
+
+        def body(st, xs):
+            s, bs, vb = xs
+            st, metrics = self.engine_step(st, bs, vb,
+                                           jax.random.fold_in(rng, step0 + s))
+            return st, metrics
+
+        S = jax.tree.leaves(val_chunk)[0].shape[0]
+        state, metrics = jax.lax.scan(
+            body, state, (jnp.arange(S), batch_chunk, val_chunk))
+        return state, jax.tree.map(lambda x: x[-1], metrics)

@@ -8,10 +8,14 @@ GroupNorm/swish head -> ``quant_conv`` 1x1 -> VectorQuantizer (nearest
 codebook entry, straight-through estimator, codebook + commitment losses) ->
 ``post_quant_conv`` -> symmetric decoder.
 
-Reference checkpoints (f4/f8/f16 of Template-LBBDM-*.yaml) can be ported via
-utils/torch_port.py; from-scratch training uses ``vq_train_loss`` (recon +
-codebook terms; the taming LPIPS-GAN objective needs ported VGG weights and
-is documented as requiring them — SURVEY.md §7 hard part 4).
+Reference checkpoints (f4/f8/f16 of Template-LBBDM-*.yaml) port via
+``utils.torch_port.port_vqgan`` (forward-equivalence tested against a taming
+oracle in tests/test_vqgan_train.py). Training uses the full vqperceptual
+objective — VGG-LPIPS perceptual + PatchGAN adversarial with adaptive
+d_weight and adopt_weight scheduling, two Adam(0.5, 0.9) optimizers — in
+``models/diffusion/vqgan_train.VQGANTrainer`` (BBDM/model/VQGAN/
+vqperceptual.py + vqgan.py:116-160); ``vq_train_loss`` below remains the
+minimal no-pretrain objective.
 """
 
 from __future__ import annotations

@@ -28,7 +28,7 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6):
     """d^2 = |mu1 - mu2|^2 + Tr(S1 + S2 - 2 sqrt(S1 S2)) (pytorch_fid)."""
     from scipy import linalg
     diff = mu1 - mu2
-    covmean, _ = linalg.sqrtm(sigma1 @ sigma2, disp=False)
+    covmean = linalg.sqrtm(sigma1 @ sigma2)
     if not np.isfinite(covmean).all():
         offset = np.eye(sigma1.shape[0]) * eps
         covmean = linalg.sqrtm((sigma1 + offset) @ (sigma2 + offset))
@@ -57,6 +57,43 @@ def lpips_distance(feats_a: list, feats_b: list, lin_weights: list | None = None
             d = d * lin_weights[li].reshape(1, 1, 1, -1)
         total += d.sum(axis=-1).mean(axis=(1, 2))
     return total
+
+
+def inception_features(inception_vars: tuple, images: np.ndarray,
+                       batch_size: int = 16) -> np.ndarray:
+    """pool3 features (N, 2048) from NHWC images in [0, 1]. ``inception_vars``
+    = (params, batch_stats) from utils.torch_port.port_inception_v3."""
+    import jax
+    from semantic_segmentation_tpu.models.extractors import InceptionV3Pool3
+    params, stats = inception_vars
+    net = InceptionV3Pool3()
+    fwd = jax.jit(lambda x: net.apply({"params": params,
+                                       "batch_stats": stats}, x))
+    out = [np.asarray(fwd(images[i:i + batch_size]))
+           for i in range(0, len(images), batch_size)]
+    return np.concatenate(out, 0)
+
+
+def fid(inception_vars: tuple, images_a: np.ndarray, images_b: np.ndarray,
+        batch_size: int = 16) -> float:
+    """End-to-end FID between two NHWC [0,1] image sets — the
+    pytorch_fid.fid_score capability (BBDM/evaluation/FID.py:11-17)."""
+    fa = inception_features(inception_vars, images_a, batch_size)
+    fb = inception_features(inception_vars, images_b, batch_size)
+    return fid_from_features(fa, fb)
+
+
+def lpips(alex_params, lin_weights, images_a, images_b,
+          batch_size: int = 16) -> np.ndarray:
+    """LPIPS(alex) per pair — BBDM/evaluation/LPIPS.py:10-30. Inputs NHWC in
+    [0, 1]; returns (N,). Weights from utils.torch_port.port_alexnet_lpips."""
+    import jax
+    from semantic_segmentation_tpu.models.extractors import lpips_alex
+    fwd = jax.jit(lambda a, b: lpips_alex(alex_params, lin_weights, a, b))
+    out = [np.asarray(fwd(images_a[i:i + batch_size],
+                          images_b[i:i + batch_size]))
+           for i in range(0, len(images_a), batch_size)]
+    return np.concatenate(out, 0)
 
 
 def sample_diversity(samples: np.ndarray):

@@ -21,6 +21,25 @@ def make_data_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
     return jax.make_mesh((n,), (axis,), devices=devs[:n])
 
 
+def mesh_from_config(cfg) -> Mesh | None:
+    """Consume ``cfg.run.data_axis`` (1 = off, 0 = all devices, n = first n).
+    Returns None when data parallelism is off or impossible; raises when the
+    batch size does not divide an explicitly requested mesh."""
+    n = cfg.run.data_axis
+    if n == 0:
+        n = len(jax.devices())
+    if n <= 1:
+        return None
+    if n > len(jax.devices()):
+        raise ValueError(
+            f"run.data_axis={n} but only {len(jax.devices())} devices")
+    if cfg.data.batch_size % n != 0:
+        raise ValueError(
+            f"data.batch_size={cfg.data.batch_size} must divide the data "
+            f"mesh size {n}")
+    return make_data_mesh(n)
+
+
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Shard leading (batch) dim over the data axis."""
     return NamedSharding(mesh, P(axis))

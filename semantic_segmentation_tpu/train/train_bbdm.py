@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from semantic_segmentation_tpu.core.checkpoint import CheckpointManager
 from semantic_segmentation_tpu.core.config import Config, parse_config
 from semantic_segmentation_tpu.core.logging_utils import MetricsLogger
 from semantic_segmentation_tpu.core.optim import PlateauTracker, set_learning_rate
@@ -166,6 +167,7 @@ class BBDMModel:
 def train(cfg: Config, train_iters: int | None = None,
           model: BBDMModel | None = None):
     model = model or BBDMModel(channels=cfg.model.output_nc,
+                               accumulate=cfg.optim.accumulate,
                                compute_dtype=jnp.bfloat16
                                if cfg.model.compute_dtype == "bfloat16"
                                else jnp.float32)
@@ -178,19 +180,77 @@ def train(cfg: Config, train_iters: int | None = None,
     plateau = PlateauTracker(model.lr, patience=3000, factor=0.5,
                              threshold=1e-4, min_lr=5e-7, mode="min",
                              cooldown=3000)
+    # full-trainer-state checkpointing (BaseRunner.py:101-161, 461-470):
+    # latest (resume) + top-k by val loss, both holding model+EMA+optimizer+
+    # arch+step AND the host trajectory (plateau fields, best_val, epoch
+    # cursor) so a preempted run resumes identically.
+    ckpt_latest = CheckpointManager(os.path.join(save_dir, "ckpt"),
+                                    max_to_keep=1, best_key=None)
+    ckpt_top = CheckpointManager(os.path.join(save_dir, "ckpt_top"),
+                                 max_to_keep=cfg.run.topk_checkpoints,
+                                 best_key="val_loss", best_mode="min")
+    # data-parallel placement (run.data_axis) — the mesh subsumption of the
+    # reference's mp.spawn/NCCL DDP (BBDM/main.py:70-127)
+    from semantic_segmentation_tpu.parallel.mesh import mesh_from_config
+    mesh = mesh_from_config(cfg)
+    shard = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        state = jax.device_put(state, NamedSharding(mesh, P()))
+        shard = NamedSharding(mesh, P("data"))
+        log.info("data-parallel over %d devices", mesh.devices.size)
+
     root = jax.random.key(cfg.run.seed + 3)
     iters = train_iters or cfg.engine.train_iters
     it, epoch, best_val = 0, 0, float("inf")
+    epoch_pos = 0  # batches consumed within the current epoch
+
+    def host_state():
+        # 0-d ndarrays: orbax StandardSave rejects bare numpy scalars
+        return {"best_val": np.asarray(best_val, np.float64),
+                "epoch": np.asarray(epoch, np.int64),
+                "it": np.asarray(it, np.int64),
+                "epoch_pos": np.asarray(epoch_pos, np.int64),
+                "plateau": {k: np.asarray(v, np.float64)
+                            for k, v in plateau.state_dict().items()}}
+
+    if cfg.run.resume:
+        restored, rstep = ckpt_latest.restore(
+            {"state": jax.device_get(state), "host": host_state()})
+        if restored is not None:
+            state = restored["state"]
+            h = restored["host"]
+            best_val = float(h["best_val"])
+            epoch, it = int(h["epoch"]), int(h["it"])
+            epoch_pos = int(h["epoch_pos"])
+            plateau.load_state_dict(
+                {k: float(v) for k, v in h["plateau"].items()})
+            model.set_lr(state.opt, plateau.lr)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                state = jax.device_put(state, NamedSharding(mesh, P()))
+            log.info("resumed BBDM trainer at it=%d (epoch %d)", it, epoch)
+
+    skip = epoch_pos
     while it < iters:
         rng_np = np.random.default_rng((cfg.run.seed, epoch))
         for batch in batch_iterator(splits["train"], cfg.data.batch_size,
                                     rng_np):
+            if skip > 0:  # fast-forward the interrupted epoch's stream
+                skip -= 1
+                continue
+            if shard is not None:
+                batch = jax.tree.map(lambda x: jax.device_put(x, shard),
+                                     batch)
+            # disjoint non-negative folds: 2*it for train, 2*it+1 for val
+            # (fold_in data must fit uint32 — negative folds overflow)
             state, metrics = model.train_step(state, batch,
-                                              jax.random.fold_in(root, it))
+                                              jax.random.fold_in(root, 2 * it))
             it += 1
+            epoch_pos += 1
             if it % cfg.engine.valid_step == 0:
-                vls = [float(model.val_loss(state, b,
-                                            jax.random.fold_in(root, -it)))
+                vls = [float(model.val_loss(
+                    state, b, jax.random.fold_in(root, 2 * it + 1)))
                        for b in eval_batches(splits["val"],
                                              cfg.data.batch_size)]
                 val = float(np.mean(vls)) if vls else float("inf")
@@ -201,14 +261,26 @@ def train(cfg: Config, train_iters: int | None = None,
                          "arch": state.arch}),
                         os.path.join(save_dir, "bbdm_best.msgpack"))
                 model.set_lr(state.opt, plateau.step(val))
+                ckpt_top.save(it, {"state": jax.device_get(state),
+                                   "host": host_state()},
+                              {"val_loss": val}, force=True)
                 log.log({"loss": float(metrics["loss"]), "val_loss": val,
                          "best_val_loss": best_val}, it)
+            if cfg.run.save_every and it % cfg.run.save_every == 0:
+                ckpt_latest.save(it, {"state": jax.device_get(state),
+                                      "host": host_state()}, force=True)
             if it >= iters:
                 break
-        epoch += 1
+        if it < iters:  # epoch exhausted (not an iters-break mid-epoch)
+            epoch += 1
+            epoch_pos = 0
+    ckpt_latest.save(it, {"state": jax.device_get(state),
+                          "host": host_state()}, force=True)
     save_pytree(jax.device_get({"params": state.params, "ema": state.ema,
                                 "arch": state.arch}),
                 os.path.join(save_dir, "bbdm_latest.msgpack"))
+    ckpt_latest.wait()
+    ckpt_top.wait()
     log.close()
     return model, state
 
@@ -238,6 +310,23 @@ def sample_to_eval(model: BBDMModel, state: BBDMState, data, batch_size: int,
              b["image_pix2pix"][0]],
             os.path.join(out_dir, f"cond{bi}.png"), cols=3)
     return np.concatenate(all_samples), np.concatenate(all_reals)
+
+
+def evaluate_samples(samples: np.ndarray, reals: np.ndarray,
+                     inception_vars=None, alex=None) -> dict:
+    """One-call generative-quality scoring on sample_to_eval output — the
+    BBDM/evaluation capability (FID.py + LPIPS.py + diversity.py). ``samples``
+    (N, n_per_cond, H, W, C), ``reals`` (N, H, W, C), both in [0, 1].
+    ``inception_vars`` from port_inception_v3 enables FID; ``alex`` =
+    (alex_params, lin_weights) from port_alexnet_lpips enables LPIPS."""
+    from semantic_segmentation_tpu.ops import gen_metrics as gm
+    out = {"diversity": gm.sample_diversity(samples)}
+    flat = samples[:, 0]
+    if inception_vars is not None:
+        out["fid"] = gm.fid(inception_vars, flat, reals)
+    if alex is not None:
+        out["lpips"] = float(np.mean(gm.lpips(alex[0], alex[1], flat, reals)))
+    return out
 
 
 def main():

@@ -200,12 +200,6 @@ def train(cfg: Config, train_iters: int | None = None):
     ckpt = CheckpointManager(os.path.join(save_dir, "ckpt"))
     plateau = PlateauTracker(cfg.optim.unet_lr,
                              patience=cfg.optim.plateau_patience)
-    start_it = 0
-    if cfg.run.resume:
-        restored, step = ckpt.restore(jax.device_get(state))
-        if restored is not None:
-            state, start_it = restored, int(step)
-            log.info("resumed from checkpoint at step %d", start_it)
 
     if (cfg.engine.hypergrad == "darts"
             and set(cfg.engine.arch_children) <= {"netG", "netD"}):
@@ -219,9 +213,31 @@ def train(cfg: Config, train_iters: int | None = None):
     K = cfg.engine.unroll_steps
     n_train = len(next(iter(splits["train"].values())))
     n_val = len(next(iter(splits["val"].values())))
+    # data-parallel mesh (run.data_axis): state + HBM-resident splits are
+    # replicated, per-step index gathers are sharded over the batch axis —
+    # XLA's SPMD partitioner inserts the gradient/batch-stat psums over ICI
+    # (SURVEY.md §2.6: subsumes DataParallel and the BBDM DDP design)
+    from semantic_segmentation_tpu.parallel.mesh import mesh_from_config
+    mesh = mesh_from_config(cfg)
     # one-time HBM upload; per-step batches are device-side gathers
     train_dev = device_put_split(splits["train"])
     val_dev = device_put_split(splits["val"])
+    gather_train = gather_val = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        repl = NamedSharding(mesh, P())
+        state = jax.device_put(state, repl)
+        train_dev = jax.device_put(train_dev, repl)
+        val_dev = jax.device_put(val_dev, repl)
+        # device-side gathers with EXPLICIT batch-axis output sharding (a
+        # sharded-index gather inside the engine would be ambiguous to SPMD)
+        gather_train = jax.jit(
+            lambda data, idx: jax.tree.map(lambda x: x[idx], data),
+            out_shardings=NamedSharding(mesh, P(None, None, "data")))
+        gather_val = jax.jit(
+            lambda data, idx: jax.tree.map(lambda x: x[idx], data),
+            out_shardings=NamedSharding(mesh, P(None, "data")))
+        log.info("data-parallel over %d devices", mesh.devices.size)
     streams = {name: epoch_index_batches(n_train, cfg.data.batch_size,
                                          seed=cfg.run.seed * 7 + i)
                for i, name in enumerate(("netG", "netD", "unet"))}
@@ -231,11 +247,50 @@ def train(cfg: Config, train_iters: int | None = None):
 
     iters = train_iters or cfg.engine.train_iters
     names = ("netG", "netD", "unet")
-    best_val, it = 0.0, start_it
+    best_val, it = 0.0, 0
     # best seg net kept as a DEVICE-side snapshot; serialized once at the
     # end (the reference torch.saves on every improvement — pathological
     # through a low-bandwidth device tunnel)
     best_unet = (state.params["unet"], state.stats["unet"])
+
+    def host_state():
+        # full trajectory alongside the engine state: best metric, best seg
+        # snapshot, plateau fields, and stream cursors — so a preempted run
+        # resumes IDENTICALLY to an uninterrupted one (0-d ndarrays: orbax
+        # StandardSave rejects bare numpy scalars)
+        return {"best_val": np.asarray(best_val, np.float64),
+                "it": np.asarray(it, np.int64),
+                "best_unet": jax.device_get({"params": best_unet[0],
+                                             "stats": best_unet[1]}),
+                "plateau": {k: np.asarray(v, np.float64)
+                            for k, v in plateau.state_dict().items()}}
+
+    def save_ckpt(metrics=None):
+        ckpt.save(it, {"state": jax.device_get(state),
+                       "host": host_state()}, metrics, force=True)
+
+    if cfg.run.resume:
+        restored, _ = ckpt.restore({"state": jax.device_get(state),
+                                    "host": host_state()})
+        if restored is not None:
+            state = restored["state"]
+            h = restored["host"]
+            best_val, it = float(h["best_val"]), int(h["it"])
+            best_unet = (h["best_unet"]["params"], h["best_unet"]["stats"])
+            plateau.load_state_dict(
+                {k: float(v) for k, v in h["plateau"].items()})
+            set_learning_rate(state.opts["unet"], plateau.lr)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                state = jax.device_put(state, NamedSharding(mesh, P()))
+            # fast-forward the index streams to their pre-preemption cursors
+            for s in streams.values():
+                for _ in range(it * K):
+                    next(s)
+            for _ in range(it):
+                next(val_stream)
+            log.info("resumed from checkpoint at step %d", it)
+
     while it < iters:
         # one dispatch per validation interval: S engine iterations scanned
         # on device
@@ -244,9 +299,16 @@ def train(cfg: Config, train_iters: int | None = None):
                                   for _ in range(S)])
                      for n, s in streams.items()}
         val_idx_chunk = np.stack([next(val_stream) for _ in range(S)])
-        state, metrics = engine.engine_run_chunk(
-            state, train_dev, val_dev, idx_chunk, val_idx_chunk,
-            jnp.int32(it), root, names)
+        if mesh is not None:
+            batch_chunk = {n: gather_train(train_dev, idx)
+                           for n, idx in idx_chunk.items()}
+            val_chunk = gather_val(val_dev, val_idx_chunk)
+            state, metrics = engine.engine_run_chunk_batched(
+                state, batch_chunk, val_chunk, jnp.int32(it), root)
+        else:
+            state, metrics = engine.engine_run_chunk(
+                state, train_dev, val_dev, idx_chunk, val_idx_chunk,
+                jnp.int32(it), root, names)
         it += S
         # on-device validation on the HBM-resident val split, then ONE
         # device->host transfer for all scalars (each float() would be a
@@ -263,8 +325,7 @@ def train(cfg: Config, train_iters: int | None = None):
         log.log({**{k: float(v) for k, v in m_host.items()},
                  "val_score": val, "best_val": best_val}, it)
         if cfg.run.save_every and it % cfg.run.save_every == 0:
-            ckpt.save(it, jax.device_get(state), {"val_score": best_val},
-                      force=True)
+            save_ckpt({"val_score": best_val})
         # plateau stepping every len(train_set) global steps
         # (train_end2end_jsrt.py:254-255) — applied per chunk boundary
         if (it // max(n_train, 1)) != ((it - S) // max(n_train, 1)):
@@ -272,8 +333,7 @@ def train(cfg: Config, train_iters: int | None = None):
             set_learning_rate(state.opts["unet"], lr)
 
     if cfg.run.final_checkpoint:
-        ckpt.save(it, jax.device_get(state), {"val_score": best_val},
-                  force=True)
+        save_ckpt({"val_score": best_val})
     results = {"best_val": best_val}
     bu_params, bu_stats = best_unet
     if splits["test"] is not None:

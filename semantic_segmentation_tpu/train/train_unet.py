@@ -50,11 +50,24 @@ def train(cfg: Config, train_iters: int | None = None):
     plateau = PlateauTracker(cfg.optim.unet_lr,
                              patience=cfg.optim.plateau_patience)
 
+    # data-parallel placement (run.data_axis): replicated state, batch
+    # sharded on axis 0, XLA inserts the gradient psum (SURVEY.md §2.6)
+    from semantic_segmentation_tpu.parallel.mesh import mesh_from_config
+    mesh = mesh_from_config(cfg)
+    shard = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        state = jax.device_put(state, NamedSharding(mesh, P()))
+        shard = NamedSharding(mesh, P("data"))
+        log.info("data-parallel over %d devices", mesh.devices.size)
+
     iters = train_iters or cfg.engine.train_iters
     best_val, step, epoch = 0.0, 0, 0
     while step < iters:
         rng = np.random.default_rng((cfg.run.seed, epoch))
         for batch in batch_iterator(splits["train"], cfg.data.batch_size, rng):
+            if shard is not None:
+                batch = jax.tree.map(lambda x: jax.device_put(x, shard), batch)
             state, metrics = problem.train_step(state, batch)
             step += 1
             if step % cfg.engine.valid_step == 0:

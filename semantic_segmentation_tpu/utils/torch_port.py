@@ -55,9 +55,9 @@ def port_batchnorm(sd: dict, prefix: str):
 
 def port_vgg16_features(sd: dict):
     """torchvision ``vgg16().features`` state_dict -> models/vgg.py
-    VGG16Features params (conv layers up to relu4_3; torch feature indices
-    0,2,5,7,10,12,14,17,19,21)."""
-    torch_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21]
+    VGG16Features params (conv layers up to relu5_3; torch feature indices
+    0,2,5,7,10,12,14,17,19,21,24,26,28)."""
+    torch_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
     params = {}
     for i, ti in enumerate(torch_idx):
         params[f"conv{i}"] = {
@@ -67,6 +67,99 @@ def port_vgg16_features(sd: dict):
             "bias": sd.get(f"features.{ti}.bias", sd.get(f"{ti}.bias")),
         }
     return params
+
+
+def port_vgg_lpips(sd_lpips: dict):
+    """taming LPIPS(vgg) checkpoint lins (``lin{i}.model.1.weight``, shapes
+    (1, C, 1, 1) for C in 64/128/256/512/512) -> list of per-channel vectors
+    for models/vgg.py vgg_lpips."""
+    lins = []
+    for i in range(5):
+        key = (f"lin{i}.model.1.weight" if f"lin{i}.model.1.weight" in sd_lpips
+               else f"lins.{i}.model.1.weight")
+        lins.append(np.asarray(sd_lpips[key]).reshape(-1))
+    return lins
+
+
+def port_vqgan(sd: dict):
+    """taming/BBDM VQModel checkpoint -> (params, {}) for
+    models/diffusion/vqgan.py VQModel (Template-LBBDM f4/f8/f16 first
+    stages; BBDM/model/VQGAN/vqgan.py + taming model.py naming).
+
+    Mapping: encoder.down.{i}.block.{j} -> encoder/down{i}_block{j};
+    encoder.down.{i}.downsample.conv -> encoder/down{i}_conv;
+    mid.block_1/attn_1/block_2 -> mid_block1/mid_attn/mid_block2 (attn
+    q/k/v/proj_out are 1x1 convs -> Dense); decoder.up.{i}.block.{j} ->
+    decoder/up{i}_block{j} (taming's up list is insert(0,...)-built, so
+    indices already align); quantize.embedding.weight direct. Loss-scope
+    keys (``loss.*`` — LPIPS/discriminator) are skipped."""
+    params: dict = {"encoder": {}, "decoder": {}, "quantize": {},
+                    "quant_conv": {}, "post_quant_conv": {}}
+
+    def put(where, name, leaf, value):
+        where.setdefault(name, {})[leaf] = value
+
+    def conv(v):
+        return convert_conv(v)
+
+    def block_dest(side, kind, parts):
+        # parts like ['down','0','block','1','conv1','weight']
+        li, bi = int(parts[1]), int(parts[3])
+        return params[side].setdefault(f"{kind}{li}_block{bi}", {}), parts[4:]
+
+    for k, v in sd.items():
+        if k.startswith("loss."):
+            continue
+        parts = k.split(".")
+        side = parts[0]
+        if side in ("quant_conv", "post_quant_conv"):
+            put(params, side, "kernel" if parts[1] == "weight" else "bias",
+                conv(v) if parts[1] == "weight" else v)
+            continue
+        if side == "quantize":
+            params["quantize"]["embedding"] = v
+            continue
+        if side not in ("encoder", "decoder"):
+            continue
+        rest = parts[1:]
+        if rest[0] in ("conv_in", "conv_out"):
+            put(params[side], rest[0],
+                "kernel" if rest[1] == "weight" else "bias",
+                conv(v) if rest[1] == "weight" else v)
+        elif rest[0] == "norm_out":
+            put(params[side], "norm_out",
+                "scale" if rest[1] == "weight" else "bias", v)
+        elif rest[0] == "mid":
+            name = {"block_1": "mid_block1", "attn_1": "mid_attn",
+                    "block_2": "mid_block2"}[rest[1]]
+            node = params[side].setdefault(name, {})
+            sub, leaf = rest[2], rest[3]
+            if rest[1] == "attn_1" and sub in ("q", "k", "v", "proj_out"):
+                if leaf == "weight":  # 1x1 conv -> Dense (I, O)
+                    put(node, sub, "kernel",
+                        np.transpose(np.asarray(v)[:, :, 0, 0]))
+                else:
+                    put(node, sub, "bias", v)
+            elif sub.startswith("norm"):
+                put(node, sub, "scale" if leaf == "weight" else "bias", v)
+            else:
+                put(node, sub, "kernel" if leaf == "weight" else "bias",
+                    conv(v) if leaf == "weight" else v)
+        elif rest[0] in ("down", "up"):
+            if rest[2] == "block":
+                node, tail = block_dest(side, rest[0], rest)
+                sub, leaf = tail[0], tail[1]
+                if sub.startswith("norm"):
+                    put(node, sub, "scale" if leaf == "weight" else "bias", v)
+                else:
+                    put(node, sub, "kernel" if leaf == "weight" else "bias",
+                        conv(v) if leaf == "weight" else v)
+            else:  # downsample/upsample conv
+                li = int(rest[1])
+                put(params[side], f"{rest[0]}{li}_conv",
+                    "kernel" if rest[-1] == "weight" else "bias",
+                    conv(v) if rest[-1] == "weight" else v)
+    return params, {}
 
 
 def port_swin_tiny(sd: dict, depths=(2, 2, 2, 2), depths_decoder=(1, 2, 2, 2)):
@@ -127,6 +220,66 @@ def port_swin_tiny(sd: dict, depths=(2, 2, 2, 2), depths_decoder=(1, 2, 2, 2)):
     if "norm.weight" in sd:
         params["bottleneck_norm"] = ln("norm")
     return params
+
+
+def _set_path(tree: dict, parts, leaf_name, value):
+    node = tree
+    for p in parts:
+        node = node.setdefault(p, {})
+    node[leaf_name] = value
+
+
+def port_inception_v3(sd: dict):
+    """pytorch-fid / torchvision ``inception_v3`` state_dict ->
+    (params, batch_stats) for models/extractors.py InceptionV3Pool3
+    (BBDM/evaluation/FID.py:11-17 uses this network via pytorch_fid).
+    Module names match the checkpoint ('Mixed_5b.branch1x1.conv' ...), so the
+    port is mechanical: convs transpose OIHW->HWIO, BNs split into
+    scale/bias + mean/var. fc / AuxLogits keys are ignored (pool3 head)."""
+    params: dict = {}
+    stats: dict = {}
+    for k, v in sd.items():
+        if k.startswith(("fc.", "AuxLogits.")):
+            continue
+        parts = k.split(".")
+        leaf = parts[-1]
+        if parts[-2] == "conv" and leaf == "weight":
+            _set_path(params, parts[:-1], "kernel", convert_conv(v))
+        elif parts[-2] == "bn":
+            if leaf == "weight":
+                _set_path(params, parts[:-1], "scale", v)
+            elif leaf == "bias":
+                _set_path(params, parts[:-1], "bias", v)
+            elif leaf == "running_mean":
+                _set_path(stats, parts[:-1], "mean", v)
+            elif leaf == "running_var":
+                _set_path(stats, parts[:-1], "var", v)
+    return params, stats
+
+
+def port_alexnet_lpips(sd_alex: dict, sd_lpips: dict | None = None):
+    """torchvision ``alexnet`` (features.0/3/6/8/10 convs) -> AlexNetFeatures
+    params, plus the lpips 'alex' linear weights (``lin{i}.model.1.weight``,
+    shape (1, C, 1, 1)) -> list of per-channel vectors
+    (BBDM/evaluation/LPIPS.py:10-30). With no lpips checkpoint the lins
+    default to uniform 1/C (documented fallback)."""
+    conv_idx = [0, 3, 6, 8, 10]
+    widths = [64, 192, 384, 256, 256]
+    params = {}
+    for i, ti in enumerate(conv_idx):
+        params[f"conv{i}"] = {
+            "kernel": convert_conv(sd_alex[f"features.{ti}.weight"]),
+            "bias": sd_alex[f"features.{ti}.bias"],
+        }
+    if sd_lpips is None:
+        lins = [np.full((w,), 1.0 / w, np.float32) for w in widths]
+    else:
+        lins = []
+        for i in range(5):
+            key = (f"lin{i}.model.1.weight" if f"lin{i}.model.1.weight"
+                   in sd_lpips else f"lins.{i}.model.1.weight")
+            lins.append(np.asarray(sd_lpips[key]).reshape(-1))
+    return params, lins
 
 
 def port_unet_milesial(sd: dict):

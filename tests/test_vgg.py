@@ -12,7 +12,8 @@ from semantic_segmentation_tpu.utils.torch_port import port_vgg16_features
 
 
 def _torch_vgg16_features():
-    cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512]
+    cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512,
+           "M", 512, 512, 512]
     layers, in_c = [], 3
     for c in cfg:
         if c == "M":
@@ -33,7 +34,7 @@ def test_vgg_port_matches_torch(rng_np):
             h = layer(h)
             if isinstance(layer, nn.ReLU):
                 relu_count += 1
-                if relu_count in (1, 3, 6, 9):
+                if relu_count in (2, 4, 7, 10, 13):  # relu1_2/2_2/3_3/4_3/5_3
                     taps.append(h.numpy().transpose(0, 2, 3, 1))
     sd = {f"{i}.weight": m.weight.detach().numpy()
           for i, m in enumerate(tnet) if isinstance(m, nn.Conv2d)}
@@ -42,7 +43,7 @@ def test_vgg_port_matches_torch(rng_np):
     params = port_vgg16_features(sd)
     model = VGG16Features(dtype=jnp.float32)
     ours = model.apply({"params": params}, jnp.asarray(x))
-    assert len(ours) == 4
+    assert len(ours) == 5
     for a, b in zip(ours, taps):
         np.testing.assert_allclose(np.asarray(a), b, atol=1e-4)
     loss = vgg_perceptual_loss(ours, ours)

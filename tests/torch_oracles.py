@@ -290,3 +290,271 @@ def torch_dice_loss(pred_sigmoid, target, eps=1e-6):
     sets = p.sum() + t.sum()
     sets = torch.where(sets == 0, inter, sets)
     return 1.0 - (inter + eps) / (sets + eps)
+
+
+# ---------------------------------------------------------------------------
+# FID / LPIPS extractor oracles
+# ---------------------------------------------------------------------------
+
+class TorchAlexLPIPS(nn.Module):
+    """lpips 'alex' restated: torchvision AlexNet.features layout + the
+    LPIPS forward (scaling layer, relu1-5 taps, channel-unit-normalize,
+    per-channel lin weights, spatial mean, layer sum)."""
+
+    SHIFT = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+    SCALE = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+
+    def __init__(self):
+        super().__init__()
+        self.features = nn.Sequential(
+            nn.Conv2d(3, 64, 11, 4, 2), nn.ReLU(), nn.MaxPool2d(3, 2),
+            nn.Conv2d(64, 192, 5, 1, 2), nn.ReLU(), nn.MaxPool2d(3, 2),
+            nn.Conv2d(192, 384, 3, 1, 1), nn.ReLU(),
+            nn.Conv2d(384, 256, 3, 1, 1), nn.ReLU(),
+            nn.Conv2d(256, 256, 3, 1, 1), nn.ReLU(), nn.MaxPool2d(3, 2))
+        self.taps = (1, 4, 7, 9, 11)
+
+    def _feats(self, x):
+        out, h = [], x
+        for i, layer in enumerate(self.features):
+            h = layer(h)
+            if i in self.taps:
+                out.append(h)
+        return out
+
+    def lpips(self, a, b, lins):
+        """a, b NCHW in [0,1]; lins: list of 5 per-channel vectors."""
+        def prep(x):
+            return (2.0 * x - 1.0 - self.SHIFT) / self.SCALE
+        fa, fb = self._feats(prep(a)), self._feats(prep(b))
+        total = 0.0
+        for i, (xa, xb) in enumerate(zip(fa, fb)):
+            na = xa / (xa.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+            nb = xb / (xb.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+            w = torch.tensor(np.asarray(lins[i])).view(1, -1, 1, 1)
+            total = total + ((na - nb) ** 2 * w).sum(1).mean(dim=(1, 2))
+        return total
+
+
+class TorchBasicConv2d(nn.Module):
+    """torchvision BasicConv2d: conv(bias=False) + BN(eps=1e-3) + relu."""
+
+    def __init__(self, c_in, c_out, **kw):
+        super().__init__()
+        self.conv = nn.Conv2d(c_in, c_out, bias=False, **kw)
+        self.bn = nn.BatchNorm2d(c_out, eps=1e-3)
+
+    def forward(self, x):
+        return F.relu(self.bn(self.conv(x)))
+
+
+class TorchInceptionA(nn.Module):
+    """pytorch-fid FIDInceptionA: avg pool excludes padding."""
+
+    def __init__(self, c_in, pool_features):
+        super().__init__()
+        self.branch1x1 = TorchBasicConv2d(c_in, 64, kernel_size=1)
+        self.branch5x5_1 = TorchBasicConv2d(c_in, 48, kernel_size=1)
+        self.branch5x5_2 = TorchBasicConv2d(48, 64, kernel_size=5, padding=2)
+        self.branch3x3dbl_1 = TorchBasicConv2d(c_in, 64, kernel_size=1)
+        self.branch3x3dbl_2 = TorchBasicConv2d(64, 96, kernel_size=3, padding=1)
+        self.branch3x3dbl_3 = TorchBasicConv2d(96, 96, kernel_size=3, padding=1)
+        self.branch_pool = TorchBasicConv2d(c_in, pool_features, kernel_size=1)
+
+    def forward(self, x):
+        b1 = self.branch1x1(x)
+        b5 = self.branch5x5_2(self.branch5x5_1(x))
+        bd = self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x)))
+        bp = self.branch_pool(F.avg_pool2d(x, 3, stride=1, padding=1,
+                                           count_include_pad=False))
+        return torch.cat([b1, b5, bd, bp], 1)
+
+
+# ---------------------------------------------------------------------------
+# VQGAN oracle (taming checkpoint naming) + vqperceptual loss restatement
+# ---------------------------------------------------------------------------
+
+def _gn_groups(c):
+    if c % 32 == 0:
+        return 32
+    return max(g for g in range(1, min(32, c) + 1) if c % g == 0)
+
+
+def _tgn(c):
+    return nn.GroupNorm(_gn_groups(c), c, eps=1e-6)
+
+
+class _TVQResBlock(nn.Module):
+    def __init__(self, c_in, c_out):
+        super().__init__()
+        self.norm1 = _tgn(c_in)
+        self.conv1 = nn.Conv2d(c_in, c_out, 3, 1, 1)
+        self.norm2 = _tgn(c_out)
+        self.conv2 = nn.Conv2d(c_out, c_out, 3, 1, 1)
+        if c_in != c_out:
+            self.nin_shortcut = nn.Conv2d(c_in, c_out, 1)
+        self.c_in, self.c_out = c_in, c_out
+
+    def forward(self, x):
+        h = self.conv1(F.silu(self.norm1(x)))
+        h = self.conv2(F.silu(self.norm2(h)))
+        if self.c_in != self.c_out:
+            x = self.nin_shortcut(x)
+        return x + h
+
+
+class _TVQAttn(nn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.norm = _tgn(c)
+        self.q = nn.Conv2d(c, c, 1)
+        self.k = nn.Conv2d(c, c, 1)
+        self.v = nn.Conv2d(c, c, 1)
+        self.proj_out = nn.Conv2d(c, c, 1)
+
+    def forward(self, x):
+        b, c, h, w = x.shape
+        y = self.norm(x)
+        q = self.q(y).reshape(b, c, h * w)
+        k = self.k(y).reshape(b, c, h * w)
+        v = self.v(y).reshape(b, c, h * w)
+        attn = torch.softmax(torch.einsum("bci,bcj->bij", q, k) * c ** -0.5,
+                             dim=2)
+        out = torch.einsum("bcj,bij->bci", v, attn).reshape(b, c, h, w)
+        return x + self.proj_out(out)
+
+
+class _Holder(nn.Module):
+    pass
+
+
+class TorchTamingVQGAN(nn.Module):
+    """Tiny taming VQModel with checkpoint-exact module names
+    (BBDM/model/VQGAN/model.py Encoder/Decoder + quantize.py
+    VectorQuantizer2 legacy loss)."""
+
+    def __init__(self, ch=8, ch_mult=(1, 2), nrb=1, z=3, n_embed=16,
+                 out_ch=1):
+        super().__init__()
+        self.nrb, self.ch_mult = nrb, ch_mult
+        enc = _Holder()
+        enc.conv_in = nn.Conv2d(out_ch, ch, 3, 1, 1)
+        enc.down = nn.ModuleList()
+        c = ch
+        for li, m in enumerate(ch_mult):
+            lvl = _Holder()
+            lvl.block = nn.ModuleList()
+            for _ in range(nrb):
+                lvl.block.append(_TVQResBlock(c, ch * m))
+                c = ch * m
+            if li < len(ch_mult) - 1:
+                ds = _Holder()
+                ds.conv = nn.Conv2d(c, c, 3, 2, 0)
+                lvl.downsample = ds
+            enc.down.append(lvl)
+        mid = _Holder()
+        mid.block_1 = _TVQResBlock(c, c)
+        mid.attn_1 = _TVQAttn(c)
+        mid.block_2 = _TVQResBlock(c, c)
+        enc.mid = mid
+        enc.norm_out = _tgn(c)
+        enc.conv_out = nn.Conv2d(c, z, 3, 1, 1)
+        self.encoder = enc
+
+        self.quant_conv = nn.Conv2d(z, z, 1)
+        self.quantize = _Holder()
+        self.quantize.embedding = nn.Embedding(n_embed, z)
+        self.quantize.embedding.weight.data.uniform_(-2.0 / n_embed,
+                                                     2.0 / n_embed)
+        self.post_quant_conv = nn.Conv2d(z, z, 1)
+
+        dec = _Holder()
+        cd = ch * ch_mult[-1]
+        dec.conv_in = nn.Conv2d(z, cd, 3, 1, 1)
+        midd = _Holder()
+        midd.block_1 = _TVQResBlock(cd, cd)
+        midd.attn_1 = _TVQAttn(cd)
+        midd.block_2 = _TVQResBlock(cd, cd)
+        dec.mid = midd
+        levels = [None] * len(ch_mult)
+        cc = cd
+        for li in reversed(range(len(ch_mult))):  # taming insert(0, ...) order
+            lvl = _Holder()
+            lvl.block = nn.ModuleList()
+            for _ in range(nrb + 1):
+                lvl.block.append(_TVQResBlock(cc, ch * ch_mult[li]))
+                cc = ch * ch_mult[li]
+            if li > 0:
+                us = _Holder()
+                us.conv = nn.Conv2d(cc, cc, 3, 1, 1)
+                lvl.upsample = us
+            levels[li] = lvl
+        dec.up = nn.ModuleList(levels)
+        dec.norm_out = _tgn(cc)
+        dec.conv_out = nn.Conv2d(cc, out_ch, 3, 1, 1)
+        self.decoder = dec
+
+    def encode(self, x):
+        h = self.encoder.conv_in(x)
+        for li, lvl in enumerate(self.encoder.down):
+            for blk in lvl.block:
+                h = blk(h)
+            if hasattr(lvl, "downsample"):
+                h = F.pad(h, (0, 1, 0, 1))
+                h = lvl.downsample.conv(h)
+        h = self.encoder.mid.block_2(self.encoder.mid.attn_1(
+            self.encoder.mid.block_1(h)))
+        h = F.silu(self.encoder.norm_out(h))
+        return self.quant_conv(self.encoder.conv_out(h))
+
+    def quantize_z(self, z, beta=0.25):
+        emb = self.quantize.embedding.weight
+        flat = z.permute(0, 2, 3, 1).reshape(-1, z.shape[1])
+        d = (flat.pow(2).sum(1, keepdim=True) - 2 * flat @ emb.t()
+             + emb.pow(2).sum(1)[None])
+        idx = d.argmin(1)
+        z_q = emb[idx].reshape(z.shape[0], z.shape[2], z.shape[3],
+                               z.shape[1]).permute(0, 3, 1, 2)
+        loss = torch.mean((z_q.detach() - z) ** 2) + \
+            beta * torch.mean((z_q - z.detach()) ** 2)
+        z_q = z + (z_q - z).detach()
+        return z_q, loss
+
+    def decode(self, z_q):
+        h = self.decoder.conv_in(self.post_quant_conv(z_q))
+        h = self.decoder.mid.block_2(self.decoder.mid.attn_1(
+            self.decoder.mid.block_1(h)))
+        for li in reversed(range(len(self.ch_mult))):
+            lvl = self.decoder.up[li]
+            for blk in lvl.block:
+                h = blk(h)
+            if li > 0:
+                h = F.interpolate(h, scale_factor=2.0, mode="nearest")
+                h = lvl.upsample.conv(h)
+        h = F.silu(self.decoder.norm_out(h))
+        return self.decoder.conv_out(h)
+
+    def forward(self, x):
+        z = self.encode(x)
+        z_q, qloss = self.quantize_z(z)
+        return self.decode(z_q), qloss
+
+
+def torch_vq_ae_loss(model, disc, x, step, disc_start, codebook_weight=1.0,
+                     disc_weight=1.0, disc_factor=1.0):
+    """vqperceptual.py optimizer_idx==0 restated (perceptual_weight=0):
+    nll + adaptive d_weight * adopt_weight * g_loss + cb * qloss.
+    Returns (loss, d_weight, nll, g_loss, qloss)."""
+    recon, qloss = model(x)
+    nll = torch.abs(x - recon).mean()
+    logits_fake = disc(recon)
+    g_loss = -logits_fake.mean()
+    last = model.decoder.conv_out.weight
+    nll_g = torch.autograd.grad(nll, last, retain_graph=True)[0]
+    g_g = torch.autograd.grad(g_loss, last, retain_graph=True)[0]
+    d_weight = (nll_g.norm() / (g_g.norm() + 1e-4)).clamp(0, 1e4).detach() \
+        * disc_weight
+    factor = disc_factor if step >= disc_start else 0.0
+    loss = nll + d_weight * factor * g_loss + codebook_weight * qloss
+    return (float(loss.detach()), float(d_weight), float(nll.detach()),
+            float(g_loss.detach()), float(qloss.detach()))
