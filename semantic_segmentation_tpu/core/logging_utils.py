@@ -39,6 +39,14 @@ class MetricsLogger:
             except Exception as e:  # pragma: no cover - wandb optional
                 logger.warning("wandb unavailable (%s); continuing without", e)
 
+    def log_images(self, images: Mapping[str, Any], step: int | None = None):
+        """wandb image panels (train_end2end_jsrt.py:206-223 ims_dict); a
+        no-op without wandb (the PNG grids on disk are the offline record)."""
+        if self._wandb is not None:
+            import wandb  # type: ignore
+            self._wandb.log({k: wandb.Image(v) for k, v in images.items()},
+                            step=step)
+
     def log(self, metrics: Mapping[str, Any], step: int | None = None):
         rec = {"t": time.time(), **({"step": step} if step is not None else {}),
                **{k: float(v) if hasattr(v, "__float__") else v

@@ -202,3 +202,81 @@ class NibSliceDataset:
         if mask.ndim == 3:
             mask = mask[..., 0]
         return {"image": img, "mask": mask.astype(np.int32)[..., None]}
+
+
+# ---------------------------------------------------------------------------
+# BBDM dataset variants (BBDM/datasets/custom.py) beyond aligned pairs
+# ---------------------------------------------------------------------------
+
+class _ImageDir:
+    """custom.py ImagePathDataset core: one directory of images, resized;
+    flip=True doubles the dataset with mirrored copies (custom.py:__len__).
+    Items come out in [0, 1] NHWC floats — the BBDM trainer's loss boundary
+    does the (x * 2 - 1) normalization (train_bbdm.loss_fn)."""
+
+    def __init__(self, directory: str, image_size: int, flip: bool):
+        exts = (".png", ".jpg", ".jpeg", ".bmp", ".tif")
+        self.paths = sorted(
+            os.path.join(directory, f) for f in os.listdir(directory)
+            if f.lower().endswith(exts))
+        if not self.paths:
+            raise RuntimeError(f"no images under {directory}")
+        self.image_size = image_size
+        self.flip = flip
+
+    def __len__(self):
+        return len(self.paths) * (2 if self.flip else 1)
+
+    def load(self, index):
+        flipped = index >= len(self.paths)
+        im = Image.open(self.paths[index % len(self.paths)]).convert("RGB")
+        im = im.resize((self.image_size, self.image_size),
+                       resample=Image.BILINEAR)
+        if flipped:
+            im = im.transpose(Image.FLIP_LEFT_RIGHT)
+        return np.asarray(im, np.float32) / 255.0
+
+
+class SingleImageDataset(_ImageDir):
+    """custom_single (custom.py): unconditional — condition = image."""
+
+    def __getitem__(self, index):
+        img = self.load(index)
+        return {"image_pix2pix": img, "mask_pix2pix": img}
+
+
+class ColorizationDataset(_ImageDir):
+    """custom_colorization_RGB (custom.py:104-151): condition = the
+    grayscale image replicated to 3 channels."""
+
+    def __getitem__(self, index):
+        img = self.load(index)
+        # PIL 'L' conversion (ITU-R 601-2 luma), like image.convert('L')
+        luma = (0.299 * img[..., 0] + 0.587 * img[..., 1]
+                + 0.114 * img[..., 2])
+        cond = np.repeat(luma[..., None], 3, axis=-1)
+        return {"image_pix2pix": img, "mask_pix2pix": cond}
+
+
+class InpaintingDataset(_ImageDir):
+    """custom_inpainting (custom.py:154-211): condition = image with a
+    random 128-180px box zeroed (deterministic per (seed, index))."""
+
+    def __init__(self, directory: str, image_size: int = 256,
+                 flip: bool = False, seed: int = 0):
+        super().__init__(directory, image_size, flip)
+        self.seed = seed
+
+    def __getitem__(self, index):
+        img = self.load(index)
+        h = w = self.image_size
+        rng = np.random.default_rng((self.seed, index))
+        lo = min(128, h // 2)
+        hi = min(180, h - 1)
+        mh = int(rng.integers(lo, hi + 1))
+        mw = int(rng.integers(lo, hi + 1))
+        px = int(rng.integers(0, h - mh + 1))
+        py = int(rng.integers(0, w - mw + 1))
+        cond = img.copy()
+        cond[px:px + mh, py:py + mw, :] = 0.0
+        return {"image_pix2pix": img, "mask_pix2pix": cond}

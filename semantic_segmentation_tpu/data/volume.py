@@ -75,7 +75,14 @@ class NiftiPairedDataset:
 
     def __init__(self, root: str, dir_a: str = "imgsA", dir_b: str = "imgsB",
                  dir_truth: str = "truths", crop_size: int = 64,
-                 random_flip: bool = True, seed: int = 0):
+                 random_flip: bool = True, seed: int = 0,
+                 sliced: bool = False, chosen_slice: int = 0,
+                 image_size: int = 256):
+        """``sliced=True`` is the reference's 2D ``chosen_slice`` mode
+        (nifti_dataset.py:119-131 + util/util.py:91-108): take z-slice
+        ``chosen_slice``, min-max normalize, resize to ``image_size``, and
+        return (H, W, 1) items in [-1, 1] (the 2D pipeline's
+        Normalize(0.5, 0.5)); truth binarized against its min."""
         self.paths_a = sorted(glob(os.path.join(root, dir_a, "*.nii*")))
         self.paths_b = sorted(glob(os.path.join(root, dir_b, "*.nii*")))
         assert len(self.paths_a) == len(self.paths_b) and self.paths_a, \
@@ -84,9 +91,35 @@ class NiftiPairedDataset:
         self.crop_size = crop_size
         self.random_flip = random_flip
         self.seed = seed
+        self.sliced = sliced
+        self.chosen_slice = chosen_slice
+        self.image_size = image_size
 
     def __len__(self):
         return len(self.paths_a)
+
+    def _slice_item(self, a, b, truth):
+        def prep2d(v):
+            v = np.asarray(v, np.float64)[:, :, self.chosen_slice]
+            v = (v - v.min()) / max(v.max() - v.min(), 1e-12)
+            from PIL import Image
+            im = Image.fromarray((v * 255).astype(np.uint8), "L").resize(
+                (self.image_size, self.image_size), resample=Image.BICUBIC)
+            return np.asarray(im, np.float32) / 255.0
+        a2, b2 = prep2d(a), prep2d(b)
+        if truth is not None:
+            t = np.asarray(truth, np.float64)[:, :, self.chosen_slice]
+            t = (t != t.min()).astype(np.float32)
+            from PIL import Image
+            t = np.asarray(Image.fromarray(t).resize(
+                (self.image_size, self.image_size),
+                resample=Image.NEAREST), np.float32)
+        else:
+            t = np.zeros_like(b2)
+        mask_a = (a2 != a2.min()).astype(np.float32)
+        # 2D pipeline ends with Normalize(0.5, 0.5) -> [-1, 1]
+        return {"A": (a2 * 2 - 1)[..., None], "B": (b2 * 2 - 1)[..., None],
+                "mask": mask_a[..., None], "truth": t[..., None]}
 
     def __getitem__(self, idx: int):
         rng = np.random.default_rng((self.seed, idx))
@@ -96,6 +129,8 @@ class NiftiPairedDataset:
             os.path.basename(self.paths_b[idx])
         tp = os.path.join(self.truth_dir, os.path.basename(self.paths_a[idx]))
         truth = read_nifti(tp)[0] if os.path.exists(tp) else None
+        if self.sliced:
+            return self._slice_item(a, b, truth)
 
         def prep(v):
             return crop_or_pad(np.asarray(v, np.float32), self.crop_size)

@@ -37,9 +37,10 @@ def to_uint8(x):
 
 def _histogram256(chan_u8):
     """256-bin histogram of a uint8 channel as a fused broadcast-compare +
-    reduce (2.3x faster than scatter-add on TPU v5e; see
-    ops/pallas_kernels.py for the Pallas variant and the benchmark). No
-    reshapes — stays SPMD-shardable when vmapped over sharded batches."""
+    reduce (faster than scatter-add on TPU; the production equalize path
+    uses the FUSED Pallas kernel instead — ops/pallas_kernels.py, bit-exact
+    and 7.1x faster on v5e). No reshapes — stays SPMD-shardable when vmapped
+    over sharded batches."""
     x = chan_u8.astype(jnp.int32)[..., None]
     bins = jnp.arange(256, dtype=jnp.int32)
     eq = x == bins
@@ -76,10 +77,24 @@ def equalize_channel_uint8(chan_u8):
     return lut[chan_u8.astype(jnp.int32)].astype(jnp.uint8)
 
 
-def equalize_uint8(img_u8):
-    """Equalize a batch of images per (image, channel); input NHWC. Nested
-    vmaps (batch, then channel) — no reshapes, so batch-sharded inputs stay
-    sharded under SPMD."""
+def equalize_uint8(img_u8, use_pallas: bool | None = None):
+    """Equalize a batch of images per (image, channel); input NHWC.
+
+    On TPU this dispatches to the FUSED Pallas kernel
+    (ops/pallas_kernels.equalize_uint8_pallas: histogram -> LUT -> apply in
+    one VMEM residency) — this is the production path of the e2e unet step's
+    uint8 chain. Elsewhere (and under multi-device sharding, where pallas
+    calls don't partition) the nested-vmap jnp path runs: no reshapes, so
+    batch-sharded inputs stay sharded under SPMD."""
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu"
+                      and jax.device_count() == 1)
+    if use_pallas:
+        from semantic_segmentation_tpu.ops.pallas_kernels import (
+            equalize_uint8_pallas)
+        chans = [equalize_uint8_pallas(img_u8[..., ci])
+                 for ci in range(img_u8.shape[-1])]
+        return jnp.stack(chans, axis=-1)
     per_image = jax.vmap(equalize_channel_uint8, in_axes=-1, out_axes=-1)
     return jax.vmap(per_image)(img_u8)
 

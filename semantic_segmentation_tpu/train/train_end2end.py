@@ -31,6 +31,7 @@ from semantic_segmentation_tpu.core.config import Config, parse_config
 from semantic_segmentation_tpu.core.logging_utils import MetricsLogger
 from semantic_segmentation_tpu.core.optim import (PlateauTracker, adam_torch,
                                                   set_learning_rate)
+from semantic_segmentation_tpu.core.profiling import StepTimer, trace
 from semantic_segmentation_tpu.data.pipeline import (device_put_split,
                                                      epoch_index_batches,
                                                      eval_batches)
@@ -43,6 +44,7 @@ from semantic_segmentation_tpu.ops.losses import gan_loss, l1_loss
 from semantic_segmentation_tpu.ops.metrics import eval_batch_dice
 from semantic_segmentation_tpu.train.common import load_splits
 from semantic_segmentation_tpu.train.train_pix2pix import build_pix2pix, load_model
+from semantic_segmentation_tpu.utils.visuals import save_image_grid
 
 
 def build_problems(cfg: Config, p2p: Pix2Pix, seg: SegProblem):
@@ -180,6 +182,40 @@ def build_engine_and_state(cfg: Config, rng):
     return engine, state, p2p, seg
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("p2p",))
+def _panel_fakes(p2p: Pix2Pix, params, stats, arch, masks, rng):
+    aug = random_augment_batch(rng, masks)
+    fake_mask = iops.threshold_mask(aug, 0.1)
+    fake_image, _ = p2p.g_apply(params, stats, fake_mask, arch, False)
+    return fake_mask, iops.minmax_normalize(fake_image)
+
+
+def save_validation_panels(p2p: Pix2Pix, state, val_dev, it, save_dir, log,
+                           rng):
+    """The reference's 4-panel wandb logging (train_end2end_jsrt.py:206-223):
+    image / mask / fake_image (G on the augmented+thresholded mask) /
+    fake_mask — saved as a PNG grid, mirrored to wandb when enabled. The
+    fake computation is jitted (an eager apply costs seconds through the
+    device tunnel)."""
+    masks = jnp.asarray(val_dev["mask"][:1], jnp.float32)
+    fake_mask, fake_image = _panel_fakes(
+        p2p, state.params["netG"], state.stats["netG"],
+        state.arch["upconv"], masks, rng)
+    image, masks, fake_mask, fake_image = jax.device_get(
+        (val_dev["image"][:1], masks, fake_mask, fake_image))
+    panels = {"show_image": np.asarray(image[0], np.float32),
+              "show_mask": np.asarray(masks[0]),
+              "show_fake_image": np.asarray(fake_image[0]),
+              "show_fake_mask": np.asarray(fake_mask[0])}
+    save_image_grid([panels["show_image"], panels["show_mask"],
+                     panels["show_fake_image"], panels["show_fake_mask"]],
+                    os.path.join(save_dir, "panels", f"it{it}.png"), cols=4)
+    log.log_images(panels, it)
+
+
 def evaluate_seg(seg: SegProblem, params, stats, data, batch_size, n_classes):
     total, count = 0.0, 0
     for b in eval_batches(data, batch_size):
@@ -291,6 +327,10 @@ def train(cfg: Config, train_iters: int | None = None):
                 next(val_stream)
             log.info("resumed from checkpoint at step %d", it)
 
+    timer = StepTimer(skip=1)
+    timer.tick()
+    profiler = trace(cfg.run.profile_dir)  # run.profile_dir -> jax.profiler
+    profiler.__enter__()
     while it < iters:
         # one dispatch per validation interval: S engine iterations scanned
         # on device
@@ -326,12 +366,18 @@ def train(cfg: Config, train_iters: int | None = None):
                  "val_score": val, "best_val": best_val}, it)
         if cfg.run.save_every and it % cfg.run.save_every == 0:
             save_ckpt({"val_score": best_val})
-        # plateau stepping every len(train_set) global steps
-        # (train_end2end_jsrt.py:254-255) — applied per chunk boundary
+        # plateau stepping + image panels every len(train_set) global steps
+        # (train_end2end_jsrt.py:206-223, 254-255) — applied per chunk
+        # boundary
         if (it // max(n_train, 1)) != ((it - S) // max(n_train, 1)):
             lr = plateau.step(best_val)
             set_learning_rate(state.opts["unet"], lr)
+            save_validation_panels(p2p, state, val_dev, it, save_dir, log,
+                                   jax.random.fold_in(root, 2 ** 30 + it))
+        timer.tick()
+        log.log({"iters_per_sec": timer.steps_per_sec * S}, it)
 
+    profiler.__exit__(None, None, None)
     if cfg.run.final_checkpoint:
         save_ckpt({"val_score": best_val})
     results = {"best_val": best_val}

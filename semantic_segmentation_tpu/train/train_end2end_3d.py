@@ -267,24 +267,41 @@ def train(cfg: Config, train_iters: int | None = None, crop: int = 64,
     iters = train_iters or cfg.engine.train_iters
     best_val, it = 0.0, 0
     n_train = len(next(iter(splits["train"].values())))
+
+    if cfg.run.resume:
+        restored, rstep = ckpt.restore(jax.device_get(state))
+        if restored is not None:
+            state, it = restored, int(rstep)
+            for s in streams.values():
+                for _ in range(it * K):
+                    next(s)
+            for _ in range(it):
+                next(val_stream)
+            log.info("resumed 3D trainer at step %d", it)
+
     while it < iters:
-        idx_stack = {n: np.stack([next(s) for _ in range(K)])
+        # chunked dispatch (engine_run_chunk): one host->device dispatch per
+        # validation interval instead of per iteration — the 2D flagship's
+        # tunnel-latency elimination applied to the 3D program too
+        S = min(cfg.engine.valid_step, iters - it)
+        idx_chunk = {n: np.stack([np.stack([next(s) for _ in range(K)])
+                                  for _ in range(S)])
                      for n, s in streams.items()}
-        state, metrics = engine.engine_step_sampled(
-            state, train_dev, val_dev, idx_stack, next(val_stream),
+        val_idx_chunk = np.stack([next(val_stream) for _ in range(S)])
+        state, metrics = engine.engine_run_chunk(
+            state, train_dev, val_dev, idx_chunk, val_idx_chunk,
             jnp.int32(it), root, names)
-        it += 1
-        if it % cfg.engine.valid_step == 0:
-            val = evaluate_seg3d(model, state.params["unet"],
-                                 state.stats["unet"], splits["val"],
-                                 cfg.data.batch_size)
-            if val > best_val:
-                best_val = val
-                ckpt.save(it, jax.device_get(state), {"val_score": val},
-                          force=True)
-            log.log({**{k: float(v) for k, v in metrics.items()},
-                     "val_score": val, "best_val": best_val}, it)
-        if it % max(n_train, 1) == 0:
+        it += S
+        val = evaluate_seg3d(model, state.params["unet"],
+                             state.stats["unet"], splits["val"],
+                             cfg.data.batch_size)
+        if val > best_val:
+            best_val = val
+            ckpt.save(it, jax.device_get(state), {"val_score": val},
+                      force=True)
+        log.log({**{k: float(v) for k, v in metrics.items()},
+                 "val_score": val, "best_val": best_val}, it)
+        if (it // max(n_train, 1)) != ((it - S) // max(n_train, 1)):
             set_learning_rate(state.opts["unet"], plateau.step(best_val))
 
     results = {"best_val": best_val}

@@ -59,8 +59,10 @@ class SIVAETrainer:
         self.m = model
         self.hp = hp
         self.scale = 1.0 / (3 * image_size * image_size)  # 1/(C*H*W)
-        self.tx_e = optax.adam(hp.lr_e)
-        self.tx_d = optax.adam(hp.lr_d)
+        # injected lr so the epoch MultiStepLR (config/schedulers/
+        # defaults_vae.yaml: milestones [25, 38], gamma 0.1) can rescale it
+        self.tx_e = optax.inject_hyperparams(optax.adam)(learning_rate=hp.lr_e)
+        self.tx_d = optax.inject_hyperparams(optax.adam)(learning_rate=hp.lr_d)
 
     def init(self, rng, image_size):
         v = self.m.init(rng, image_size)
@@ -219,7 +221,24 @@ def train(cfg: Config, train_iters: int | None = None,
     root = jax.random.key(cfg.run.seed + 11)
     iters = train_iters or cfg.engine.train_iters
     it, epoch = 0, 0
+
+    def multistep_lr(base, ep, milestones=(25, 38), gamma=0.1):
+        """MultiStepLR(milestones=[25,38], gamma=0.1), stepped at each
+        epoch end (train_vae.py:308-309)."""
+        return base * gamma ** sum(ep >= m for m in milestones)
+
+    def save_ckpt(tag):
+        save_pytree(jax.device_get(
+            {"enc_params": state.enc_params, "enc_stats": state.enc_stats,
+             "dec_params": state.dec_params, "dec_stats": state.dec_stats,
+             "arch": state.arch}),
+            os.path.join(save_dir, f"sivae{tag}.msgpack"))
+
     while it < iters:
+        import jax.numpy as _jnp
+        for opt, base in ((state.opt_e, hp.lr_e), (state.opt_d, hp.lr_d)):
+            opt.hyperparams["learning_rate"] = _jnp.asarray(
+                multistep_lr(base, epoch), _jnp.float32)
         rng_np = np.random.default_rng((cfg.run.seed, epoch))
         for batch in batch_iterator(splits["train"], cfg.data.batch_size,
                                     rng_np):
@@ -235,10 +254,10 @@ def train(cfg: Config, train_iters: int | None = None,
             if it >= iters:
                 break
         epoch += 1
-    save_pytree(jax.device_get(
-        {"enc_params": state.enc_params, "enc_stats": state.enc_stats,
-         "dec_params": state.dec_params, "dec_stats": state.dec_stats,
-         "arch": state.arch}), os.path.join(save_dir, "sivae.msgpack"))
+        # periodic checkpointing (train_vae.py:97-99 save_interval)
+        if cfg.run.save_every and epoch % cfg.run.save_every == 0:
+            save_ckpt(f"_epoch{epoch}")
+    save_ckpt("")
     log.close()
     return trainer, state
 

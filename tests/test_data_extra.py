@@ -148,3 +148,57 @@ def test_nib_slice_family(tmp_path):
     assert it["image"].shape == (30, 30, 1)
     assert abs(it["image"].min()) < 1e-6 and abs(it["image"].max() - 1) < 1e-6
     assert set(np.unique(it["mask"])) <= {0, 1, 2}  # raw ids preserved
+
+
+def test_nifti_sliced_2d_mode(tmp_path):
+    """GenSeg-3D chosen_slice mode (nifti_dataset.py:119-131): z-slice,
+    min-max, resize, [-1,1] items with binarized truth."""
+    from semantic_segmentation_tpu.data.nifti import write_nifti
+    from semantic_segmentation_tpu.data.volume import NiftiPairedDataset
+    rng = np.random.default_rng(5)
+    for d in ("imgsA", "imgsB", "truths"):
+        (tmp_path / d).mkdir()
+    for i in range(2):
+        a = rng.normal(size=(20, 20, 6)).astype(np.float32)
+        b = rng.normal(size=(20, 20, 6)).astype(np.float32)
+        t = (rng.random((20, 20, 6)) > 0.6).astype(np.float32)
+        write_nifti(str(tmp_path / "imgsA" / f"v{i}.nii.gz"), a)
+        write_nifti(str(tmp_path / "imgsB" / f"v{i}.nii.gz"), b)
+        write_nifti(str(tmp_path / "truths" / f"v{i}.nii.gz"), t)
+    ds = NiftiPairedDataset(str(tmp_path), sliced=True, chosen_slice=3,
+                            image_size=32)
+    item = ds[0]
+    assert item["A"].shape == (32, 32, 1)
+    assert item["B"].shape == (32, 32, 1)
+    assert -1.0 - 1e-6 <= item["A"].min() and item["A"].max() <= 1.0 + 1e-6
+    assert set(np.unique(item["truth"])) <= {0.0, 1.0}
+    # full-3D mode still intact
+    ds3 = NiftiPairedDataset(str(tmp_path), crop_size=16)
+    assert ds3[0]["A"].shape == (16, 16, 16, 1)
+
+
+def test_bbdm_dataset_variants(tmp_path):
+    """custom_single / colorization / inpainting variants (BBDM/datasets/
+    custom.py): condition construction + flip doubling."""
+    from semantic_segmentation_tpu.data.extra import (
+        ColorizationDataset, InpaintingDataset, SingleImageDataset)
+    rng = np.random.default_rng(8)
+    for i in range(3):
+        Image.fromarray(rng.integers(0, 255, (40, 40, 3), np.uint8)).save(
+            tmp_path / f"i{i}.png")
+    ds = ColorizationDataset(str(tmp_path), image_size=32, flip=True)
+    assert len(ds) == 6  # flip doubles
+    it = ds[0]
+    c = it["mask_pix2pix"]
+    assert np.allclose(c[..., 0], c[..., 1]) and np.allclose(c[..., 0],
+                                                             c[..., 2])
+    # mirrored copy
+    np.testing.assert_allclose(ds[3]["image_pix2pix"],
+                               ds[0]["image_pix2pix"][:, ::-1], atol=1e-6)
+    inp = InpaintingDataset(str(tmp_path), image_size=200)
+    it = inp[0]
+    zero_frac = (it["mask_pix2pix"] == 0).mean()
+    assert zero_frac > 0.3  # a 128-180 box of a 200px image
+    np.testing.assert_array_equal(
+        SingleImageDataset(str(tmp_path), 32, False)[0]["image_pix2pix"],
+        SingleImageDataset(str(tmp_path), 32, False)[0]["mask_pix2pix"])

@@ -39,6 +39,11 @@ def test_end2end_train_smoke(tmp_path, mode):
     assert np.isfinite(results["best_val"])
     assert "test_dice" in results
     assert int(state.step) == 4
+    # validation image panels written at the len(train_set) boundary
+    # (train_end2end_jsrt.py:206-223)
+    import os
+    panels = os.path.join(str(tmp_path), cfg.run.name, "panels")
+    assert os.path.isdir(panels) and os.listdir(panels)
 
 
 def test_end2end_unroll_exact_mode(tmp_path):
