@@ -55,14 +55,38 @@ class SIVAEState:
 
 
 class SIVAETrainer:
-    def __init__(self, model: SoftIntroVAE, hp: SIVAEParams, image_size: int):
+    def __init__(self, model: SoftIntroVAE, hp: SIVAEParams, image_size: int,
+                 vgg_params=None):
         self.m = model
         self.hp = hp
+        # recon_loss_type='vgg' (Soft-intro_VAE/train_vae.py:60-61, applied
+        # at every reconstruction site incl. the 'none'-reduction expELBO
+        # terms :181-192 — where the reference's scalar VGGLoss quirk is
+        # reproduced). Needs ported VGG16 weights (port_vgg16_features);
+        # random weights are the documented fallback.
+        self.vgg_params = vgg_params
+        if hp.recon_loss_type == "vgg" and vgg_params is None:
+            import jax as _jax
+            from semantic_segmentation_tpu.models.vgg import VGG16Features
+            self.vgg_params = VGG16Features(dtype=None).init(
+                _jax.random.key(0),
+                jnp.zeros((1, image_size, image_size, 3)))["params"]
         self.scale = 1.0 / (3 * image_size * image_size)  # 1/(C*H*W)
         # injected lr so the epoch MultiStepLR (config/schedulers/
         # defaults_vae.yaml: milestones [25, 38], gamma 0.1) can rescale it
         self.tx_e = optax.inject_hyperparams(optax.adam)(learning_rate=hp.lr_e)
         self.tx_d = optax.inject_hyperparams(optax.adam)(learning_rate=hp.lr_d)
+
+    def rec_loss(self, x, rec, reduction):
+        if self.hp.recon_loss_type == "vgg":
+            from semantic_segmentation_tpu.models.vgg import (
+                VGG16Features, vgg_perceptual_loss)
+            net = VGG16Features(dtype=None)
+            fx = net.apply({"params": self.vgg_params}, x)
+            fr = net.apply({"params": self.vgg_params}, rec)
+            return vgg_perceptual_loss(fx, fr)
+        return calc_reconstruction_loss(x, rec, self.hp.recon_loss_type,
+                                        reduction)
 
     def init(self, rng, image_size):
         v = self.m.init(rng, image_size)
@@ -88,9 +112,7 @@ class SIVAETrainer:
             rec, d_stats = self.m.decode(
                 {"params": dp, "batch_stats": state.dec_stats}, a, z,
                 train=True)
-            loss_rec = calc_reconstruction_loss(b, rec,
-                                                self.hp.recon_loss_type,
-                                                "mean")
+            loss_rec = self.rec_loss(b, rec, "mean")
             loss_kl = calc_kl(logvar, mu, "mean")
             loss = self.hp.beta_rec * loss_rec + self.hp.beta_kl * loss_kl
             return loss, (e_stats, d_stats, loss_rec, loss_kl)
@@ -128,8 +150,7 @@ class SIVAETrainer:
             mu, logvar, e_st = encode(ep, state.enc_stats, b)
             z = reparameterize(ke, mu, logvar)
             rec, d_st = decode(state.dec_params, d_st, a, z)
-            loss_rec = calc_reconstruction_loss(b, rec, hp.recon_loss_type,
-                                                "mean")
+            loss_rec = self.rec_loss(b, rec, "mean")
             real_kl = calc_kl(logvar, mu, "mean")
             fmu, flv, e_st = encode(ep, e_st, jax.lax.stop_gradient(fake))
             rmu, rlv, e_st = encode(ep, e_st, jax.lax.stop_gradient(rec))
@@ -139,10 +160,8 @@ class SIVAETrainer:
             rec_rec, d_st = decode(state.dec_params, d_st, a, zr)
             fake_kl = calc_kl(flv, fmu, "none")
             rec_kl = calc_kl(rlv, rmu, "none")
-            l_fake_rec = calc_reconstruction_loss(fake, rec_fake,
-                                                  hp.recon_loss_type, "none")
-            l_rec_rec = calc_reconstruction_loss(rec, rec_rec,
-                                                 hp.recon_loss_type, "none")
+            l_fake_rec = self.rec_loss(fake, rec_fake, "none")
+            l_rec_rec = self.rec_loss(rec, rec_rec, "none")
             exp_fake = jnp.mean(jnp.exp(jnp.clip(
                 -2 * s * (hp.beta_rec * l_fake_rec + hp.beta_neg * fake_kl),
                 -50, 50)))
@@ -166,20 +185,17 @@ class SIVAETrainer:
             mu, logvar, e_st = encode(state.enc_params, state.enc_stats, b)
             z = jax.lax.stop_gradient(reparameterize(ke, mu, logvar))
             rec, d_st = decode(dp, d_st, a, z)
-            loss_rec = calc_reconstruction_loss(b, rec, hp.recon_loss_type,
-                                                "mean")
+            loss_rec = self.rec_loss(b, rec, "mean")
             rmu, rlv, e_st = encode(state.enc_params, e_st, rec)
             fmu, flv, e_st = encode(state.enc_params, e_st, fake)
             zr = jax.lax.stop_gradient(reparameterize(kd1, rmu, rlv))
             zf = jax.lax.stop_gradient(reparameterize(kd2, fmu, flv))
             rec_rec, d_st = decode(dp, d_st, a, zr)
             rec_fake, d_st = decode(dp, d_st, a, zf)
-            l_rr = calc_reconstruction_loss(jax.lax.stop_gradient(rec),
-                                            rec_rec, hp.recon_loss_type,
-                                            "mean")
-            l_rf = calc_reconstruction_loss(jax.lax.stop_gradient(fake),
-                                            rec_fake, hp.recon_loss_type,
-                                            "mean")
+            l_rr = self.rec_loss(jax.lax.stop_gradient(rec), rec_rec,
+                                 "mean")
+            l_rf = self.rec_loss(jax.lax.stop_gradient(fake), rec_fake,
+                                 "mean")
             fake_kl = calc_kl(flv, fmu, "mean")
             rec_kl = calc_kl(rlv, rmu, "mean")
             lossD = s * (hp.beta_rec * loss_rec +

@@ -102,3 +102,37 @@ def test_hypergrad_none_is_plain_multitask():
     state, metrics = eng.engine_step(state, bs, vb, jax.random.key(0))
     assert float(state.arch["a"][0]) == 0.0
     assert "arch_grad_norm" not in metrics
+
+
+def test_decay_only_mode_identical_to_darts_under_reference_wiring(tmp_path):
+    """Under the default (reference-parity) wiring the darts hypergradient is
+    structurally zero, so hypergrad='decay_only' must produce the SAME
+    trajectory while skipping the whole FD computation."""
+    import jax
+    import numpy as np
+    from tests.test_end2end import tiny_cfg
+    from semantic_segmentation_tpu.train.train_end2end import (
+        build_engine_and_state)
+    from semantic_segmentation_tpu.data import (SyntheticSegDataset,
+                                                stack_dataset)
+
+    def run(mode):
+        cfg = tiny_cfg(str(tmp_path), **{"engine.hypergrad": mode})
+        engine, state, p2p, seg = build_engine_and_state(cfg,
+                                                         jax.random.key(0))
+        data = stack_dataset(SyntheticSegDataset(n=2, size=32))
+        bs = {n: jax.tree.map(lambda x: x[None], data)
+              for n in ("netG", "netD", "unet")}
+        for s in range(3):
+            state, metrics = engine.engine_step(state, bs, data,
+                                                jax.random.key(s))
+        return state, metrics
+
+    s_darts, m_darts = run("darts")
+    s_fast, m_fast = run("decay_only")
+    assert float(m_darts["arch_grad_norm"]) < 1e-12  # the structural zero
+    for a, b in zip(jax.tree.leaves(s_darts.params),
+                    jax.tree.leaves(s_fast.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(s_darts.arch["upconv"]),
+                                  np.asarray(s_fast.arch["upconv"]))

@@ -122,3 +122,24 @@ def test_end2end_vae_smoke(tmp_path):
                          dtype=jnp.float32)
     state, results = train(cfg, train_iters=2, model=model)
     assert np.isfinite(results["best_val"])
+
+
+def test_vae_vgg_perceptual_option(tmp_path):
+    """recon_loss_type='vgg' (train_vae.py:60-61,120-125): the perceptual
+    reconstruction loss trains through both phases."""
+    import jax
+    from semantic_segmentation_tpu.train.train_vae import (SIVAEParams,
+                                                           SIVAETrainer)
+    from semantic_segmentation_tpu.models.vae.sivae import SoftIntroVAE
+    import jax.numpy as jnp
+    hp = SIVAEParams(recon_loss_type="vgg", num_vae=1)
+    model = SoftIntroVAE(latent_dim=4, output_nc=3, ngf=8, dtype=jnp.float32)
+    trainer = SIVAETrainer(model, hp, 32)
+    state = trainer.init(jax.random.key(0), 32)
+    rng = np.random.default_rng(0)
+    a = rng.random((2, 32, 32, 3)).astype(np.float32)
+    b = rng.random((2, 32, 32, 3)).astype(np.float32) * 2 - 1
+    state, m1 = trainer.vae_step(state, a, b, jax.random.key(1))
+    assert np.isfinite(float(m1["loss_rec"]))
+    state, m2 = trainer.soft_intro_step(state, a, b, jax.random.key(2))
+    assert all(np.isfinite(float(v)) for v in m2.values())
