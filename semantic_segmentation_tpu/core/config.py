@@ -37,7 +37,7 @@ class DataConfig:
 class ModelConfig:
     """Generator/discriminator/segnet choices (options/base_options.py:28-38,
     train_end2end_jsrt.py:61-64)."""
-    seg_model: str = "unet"          # unet | deeplab | vit(swin) | unet3d
+    seg_model: str = "unet"      # unet | deeplab | deeplabv2 | vit(swin) | unet3d
     netG: str = "unet_256"
     netD: str = "basic"
     ngf: int = 64

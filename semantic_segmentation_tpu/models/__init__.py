@@ -22,6 +22,9 @@ def create_seg_model(name: str, n_channels: int, n_classes: int, **kw: Any):
     if name == "deeplab":
         from semantic_segmentation_tpu.models.deeplab import DeepLabV3
         return DeepLabV3(n_channels=n_channels, n_classes=n_classes, **kw)
+    if name == "deeplabv2":
+        from semantic_segmentation_tpu.models.deeplab import DeepLabV2
+        return DeepLabV2(n_channels=n_channels, n_classes=n_classes, **kw)
     if name in ("vit", "swin", "swin_unet"):
         from semantic_segmentation_tpu.models.swin_unet import SwinUnet
         return SwinUnet(n_channels=n_channels, n_classes=n_classes, **kw)

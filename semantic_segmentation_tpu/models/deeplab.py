@@ -133,3 +133,97 @@ class DeepLabV3(nn.Module):
         h = jax.image.resize(h.astype(jnp.float32), (n, H, W, self.n_classes),
                              method="bilinear")
         return h
+
+
+# ---------------------------------------------------------------------------
+# DeepLabV2 — the ``--seg_model deeplabv2`` option. The reference vendors it
+# under ``deeplabv2/`` (deeplab_v2.py:13-86, backbone/resnet.py:13-174) but
+# its import is broken there (``pixelssl`` SyncBN is not in env.sh); we build
+# the working nn.BatchNorm2d variant (the reference's own ``sync_bn=False``
+# branch, deeplab_v2.py:19-21).
+# ---------------------------------------------------------------------------
+
+_he_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+class ResNetMGBackbone(nn.Module):
+    """Dilated ResNet-101/-50 with a multi-grid layer4.
+
+    Mirrors ``deeplabv2/backbone/resnet.py:53-120``: output_stride 16 ->
+    strides (1,2,2,1) dilations (1,1,1,2); output_stride 8 -> strides
+    (1,2,1,1) dilations (1,1,2,4); layer4 is the MG unit with per-block
+    dilations ``(1,2,4) * dilations[3]`` (``_make_MG_unit``, :102-119). The
+    stem consumes the raw input channels directly (the reference hardcodes
+    ``nn.Conv2d(1, 64, ...)`` at :69 — no grayscale->RGB expand).
+    """
+    layers: tuple = (3, 4, 23)        # stages 1-3 (ResNet-101); V2 default
+    output_stride: int = 16
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        if self.output_stride == 16:
+            strides, dils = (1, 2, 2, 1), (1, 1, 1, 2)
+        elif self.output_stride == 8:
+            strides, dils = (1, 2, 1, 1), (1, 1, 2, 4)
+        else:
+            raise NotImplementedError(self.output_stride)
+        h = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
+                    kernel_init=_he_out, dtype=self.dtype, name="stem")(x)
+        h = _bn(train, self.dtype, "stem_bn")(h)
+        h = nn.relu(h)
+        h = jnp.pad(h, [(0, 0), (1, 1), (1, 1), (0, 0)],
+                    constant_values=-jnp.inf)
+        h = nn.max_pool(h, (3, 3), strides=(2, 2))
+        for li, (blocks, planes) in enumerate(zip(self.layers, (64, 128, 256))):
+            for bi in range(blocks):
+                h = Bottleneck(planes, strides[li] if bi == 0 else 1,
+                               dils[li], downsample=bi == 0, dtype=self.dtype,
+                               name=f"layer{li + 1}_{bi}")(h, train)
+        for bi, mg in enumerate((1, 2, 4)):   # multi-grid layer4
+            h = Bottleneck(512, strides[3] if bi == 0 else 1, mg * dils[3],
+                           downsample=bi == 0, dtype=self.dtype,
+                           name=f"layer4_{bi}")(h, train)
+        return h
+
+
+class ClassifierModule(nn.Module):
+    """Sum of parallel dilated 3x3 convs over the 2048-ch feature map
+    (``deeplabv2/deeplab_v2.py:73-89``; weights ~ N(0, 0.01), rates/paddings
+    (6, 12, 18, 24))."""
+    n_classes: int = 1
+    rates: tuple = (6, 12, 18, 24)
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        out = None
+        for i, r in enumerate(self.rates):
+            h = nn.Conv(self.n_classes, (3, 3), kernel_dilation=r, padding=r,
+                        kernel_init=nn.initializers.normal(0.01),
+                        dtype=self.dtype, name=f"conv{i}")(x)
+            out = h if out is None else out + h
+        return out
+
+
+class DeepLabV2(nn.Module):
+    """ResNet-101 + multi-grid + sum-of-dilated-convs head, logits upsampled
+    to input size with align_corners=True (``deeplab_v2.py:30-34``)."""
+    n_channels: int = 1
+    n_classes: int = 1
+    output_stride: int = 16
+    layers: tuple = (3, 4, 23)        # (3, 4, 6) for the ResNet-50 variant
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from semantic_segmentation_tpu.ops.flax_layers import (
+            resize_bilinear_align_corners)
+        n, H, W, c = x.shape
+        x = x.astype(self.dtype or x.dtype)
+        h = ResNetMGBackbone(self.layers, self.output_stride,
+                             dtype=self.dtype, name="backbone")(x, train)
+        h = ClassifierModule(self.n_classes, dtype=self.dtype,
+                             name="classifier")(h)
+        return resize_bilinear_align_corners(
+            h.astype(jnp.float32), H, W)

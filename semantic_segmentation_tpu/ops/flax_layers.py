@@ -113,14 +113,12 @@ def pad_to_match(x_small, target_spatial: Sequence[int]):
     return jnp.pad(x_small, pads)
 
 
-def upsample_bilinear_2x(x, align_corners: bool = True):
-    """torch nn.Upsample(scale_factor=2, mode='bilinear', align_corners=True).
-
-    jax.image.resize has no align_corners mode; implement align_corners=True
-    by explicit linear interpolation on the corner-aligned grid.
-    """
+def resize_bilinear_align_corners(x, out_h: int, out_w: int):
+    """torch ``F.interpolate(mode='bilinear', align_corners=True)`` to an
+    arbitrary size, NHWC. jax.image.resize has no align_corners mode;
+    implement it by explicit linear interpolation on the corner-aligned grid
+    (sample positions ``o * (in-1)/(out-1)``)."""
     n, h, w, c = x.shape
-    out_h, out_w = 2 * h, 2 * w
 
     def grid(in_size, out_size):
         if in_size == 1:
@@ -138,3 +136,9 @@ def upsample_bilinear_2x(x, align_corners: bool = True):
     bot = x[:, y1][:, :, x0] * (1 - fx)[None, None, :, None] + \
         x[:, y1][:, :, x1] * fx[None, None, :, None]
     return top * (1 - fy)[None, :, None, None] + bot * fy[None, :, None, None]
+
+
+def upsample_bilinear_2x(x, align_corners: bool = True):
+    """torch nn.Upsample(scale_factor=2, mode='bilinear', align_corners=True)."""
+    n, h, w, c = x.shape
+    return resize_bilinear_align_corners(x, 2 * h, 2 * w)

@@ -325,3 +325,37 @@ def port_unet_milesial(sd: dict):
     params["outc"] = {"kernel": convert_conv(sd["outc.conv.weight"]),
                       "bias": sd["outc.conv.bias"]}
     return params, stats
+
+
+def port_deeplabv2(sd: dict, layers=(3, 4, 23)):
+    """Port a DeepLabV2 state_dict (the reference's ``deeplabv2/`` naming:
+    ``backbone.conv1/bn1/layer{L}.{B}.conv{1,2,3}|bn{1,2,3}|downsample.{0,1}``
+    + ``classifier.conv2d_list.{i}``, deeplab_v2.py:13-89,
+    backbone/resnet.py:53-120) into our models/deeplab.DeepLabV2 tree.
+    ``layers`` = blocks for stages 1-3 (layer4 is always the 3-block MG unit).
+    -> (params, batch_stats)."""
+    bb_p, bb_s = {}, {}
+    bb_p["stem"] = {"kernel": convert_conv(sd["backbone.conv1.weight"])}
+    bb_p["stem_bn"], bb_s["stem_bn"] = port_batchnorm(sd, "backbone.bn1")
+    for li, blocks in enumerate(tuple(layers) + (3,)):
+        for bi in range(blocks):
+            src = f"backbone.layer{li + 1}.{bi}"
+            dst_p, dst_s = {}, {}
+            for ci in (1, 2, 3):
+                dst_p[f"conv{ci}"] = {
+                    "kernel": convert_conv(sd[f"{src}.conv{ci}.weight"])}
+                dst_p[f"bn{ci}"], dst_s[f"bn{ci}"] = port_batchnorm(
+                    sd, f"{src}.bn{ci}")
+            if f"{src}.downsample.0.weight" in sd:
+                dst_p["down_conv"] = {
+                    "kernel": convert_conv(sd[f"{src}.downsample.0.weight"])}
+                dst_p["down_bn"], dst_s["down_bn"] = port_batchnorm(
+                    sd, f"{src}.downsample.1")
+            bb_p[f"layer{li + 1}_{bi}"] = dst_p
+            bb_s[f"layer{li + 1}_{bi}"] = dst_s
+    cls_p = {}
+    for i in range(4):
+        cls_p[f"conv{i}"] = {
+            "kernel": convert_conv(sd[f"classifier.conv2d_list.{i}.weight"]),
+            "bias": sd[f"classifier.conv2d_list.{i}.bias"]}
+    return ({"backbone": bb_p, "classifier": cls_p}, {"backbone": bb_s})

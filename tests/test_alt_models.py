@@ -59,3 +59,68 @@ def test_unet3d_grads(rng_np):
 
     g = jax.grad(loss)(variables["params"])
     assert max(float(jnp.abs(l).max()) for l in jax.tree.leaves(g)) > 0
+
+
+# ---------------------------------------------------------------------------
+# DeepLabV2 (the --seg_model deeplabv2 option; reference deeplabv2/)
+# ---------------------------------------------------------------------------
+
+def test_deeplabv2_registry_and_shapes():
+    from semantic_segmentation_tpu.models.deeplab import DeepLabV2
+    m = create_seg_model("deeplabv2", 1, 1, layers=(1, 1, 1),
+                         dtype=jnp.float32)
+    assert isinstance(m, DeepLabV2)
+    x = jnp.zeros((1, 48, 48, 1))
+    variables = m.init(jax.random.key(0), x, train=False)
+    y = m.apply(variables, x, train=False)
+    assert y.shape == (1, 48, 48, 1)
+    assert y.dtype == jnp.float32
+
+
+def test_deeplabv2_forward_matches_torch_oracle():
+    """Port a randomly-initialized torch DeepLabV2 (reference naming) into
+    our flax tree and check eval-mode logits match."""
+    import torch
+    from semantic_segmentation_tpu.models.deeplab import DeepLabV2
+    from semantic_segmentation_tpu.utils.torch_port import port_deeplabv2
+    from torch_oracles import TorchDeepLabV2
+
+    torch.manual_seed(0)
+    layers = (1, 1, 1)
+    oracle = TorchDeepLabV2(1, 2, layers=layers).eval()
+    sd = {k: v.detach().numpy() for k, v in oracle.state_dict().items()}
+    params, stats = port_deeplabv2(sd, layers=layers)
+
+    model = DeepLabV2(n_channels=1, n_classes=2, layers=layers,
+                      dtype=jnp.float32)
+    x = np.random.default_rng(0).normal(size=(1, 33, 33, 1)).astype(np.float32)
+    ours = model.apply({"params": params, "batch_stats": stats},
+                       jnp.asarray(x), train=False)
+    with torch.no_grad():
+        theirs = oracle(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(np.asarray(ours),
+                               theirs.numpy().transpose(0, 2, 3, 1),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_deeplabv2_tree_matches_init():
+    """The ported tree must be structurally identical to a fresh init (so
+    optimizers/checkpoints built from init accept ported weights)."""
+    import torch
+    from semantic_segmentation_tpu.models.deeplab import DeepLabV2
+    from semantic_segmentation_tpu.utils.torch_port import port_deeplabv2
+    from torch_oracles import TorchDeepLabV2
+
+    layers = (1, 1, 1)
+    oracle = TorchDeepLabV2(1, 1, layers=layers)
+    sd = {k: v.detach().numpy() for k, v in oracle.state_dict().items()}
+    params, stats = port_deeplabv2(sd, layers=layers)
+    model = DeepLabV2(n_channels=1, n_classes=1, layers=layers,
+                      dtype=jnp.float32)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 1)),
+                           train=False)
+    ref_p = jax.tree_util.tree_structure(variables["params"])
+    ref_s = jax.tree_util.tree_structure(variables["batch_stats"])
+    assert jax.tree_util.tree_structure(params) == ref_p
+    assert jax.tree_util.tree_structure(
+        jax.tree.map(jnp.asarray, stats)) == ref_s

@@ -558,3 +558,104 @@ def torch_vq_ae_loss(model, disc, x, step, disc_start, codebook_weight=1.0,
     loss = nll + d_weight * factor * g_loss + codebook_weight * qloss
     return (float(loss.detach()), float(d_weight), float(nll.detach()),
             float(g_loss.detach()), float(qloss.detach()))
+
+
+class _TV2Bottleneck(nn.Module):
+    """deeplabv2/backbone/resnet.py:13-50 bottleneck (stride+dilation on the
+    3x3; BatchNorm2d per the reference's sync_bn=False branch)."""
+    expansion = 4
+
+    def __init__(self, inplanes, planes, stride=1, dilation=1,
+                 downsample=None):
+        super().__init__()
+        self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, stride=stride,
+                               dilation=dilation, padding=dilation, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(planes * 4)
+        self.downsample = downsample
+
+    def forward(self, x):
+        r = x if self.downsample is None else self.downsample(x)
+        h = torch.relu(self.bn1(self.conv1(x)))
+        h = torch.relu(self.bn2(self.conv2(h)))
+        h = self.bn3(self.conv3(h))
+        return torch.relu(h + r)
+
+
+class _TV2ResNet(nn.Module):
+    """deeplabv2/backbone/resnet.py:53-131 (stem hardcodes the raw input
+    channel count; layer4 is the (1,2,4) multi-grid unit)."""
+
+    def __init__(self, n_channels, layers, output_stride):
+        super().__init__()
+        strides, dils = ((1, 2, 2, 1), (1, 1, 1, 2)) if output_stride == 16 \
+            else ((1, 2, 1, 1), (1, 1, 2, 4))
+        self.conv1 = nn.Conv2d(n_channels, 64, 7, stride=2, padding=3,
+                               bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+        inplanes = 64
+
+        def stage(planes, blocks, stride, dilation, mg=None):
+            nonlocal inplanes
+            mods, dn = [], None
+            if stride != 1 or inplanes != planes * 4:
+                dn = nn.Sequential(
+                    nn.Conv2d(inplanes, planes * 4, 1, stride=stride,
+                              bias=False),
+                    nn.BatchNorm2d(planes * 4))
+            grids = mg or (1,) * blocks
+            mods.append(_TV2Bottleneck(inplanes, planes, stride,
+                                       grids[0] * dilation, dn))
+            inplanes = planes * 4
+            for g in grids[1:]:
+                mods.append(_TV2Bottleneck(inplanes, planes, 1, g * dilation))
+            return nn.Sequential(*mods)
+
+        self.layer1 = stage(64, layers[0], strides[0], dils[0])
+        self.layer2 = stage(128, layers[1], strides[1], dils[1])
+        self.layer3 = stage(256, layers[2], strides[2], dils[2])
+        self.layer4 = stage(512, 3, strides[3], dils[3], mg=(1, 2, 4))
+
+    def forward(self, x):
+        h = self.maxpool(torch.relu(self.bn1(self.conv1(x))))
+        for l in (self.layer1, self.layer2, self.layer3, self.layer4):
+            h = l(h)
+        return h
+
+
+class _TV2Classifier(nn.Module):
+    """deeplabv2/deeplab_v2.py:73-89 — sum of dilated 3x3 convs."""
+
+    def __init__(self, n_classes, rates=(6, 12, 18, 24)):
+        super().__init__()
+        self.conv2d_list = nn.ModuleList(
+            nn.Conv2d(2048, n_classes, 3, padding=r, dilation=r, bias=True)
+            for r in rates)
+        for m in self.conv2d_list:
+            m.weight.data.normal_(0, 0.01)
+
+    def forward(self, x):
+        out = self.conv2d_list[0](x)
+        for m in self.conv2d_list[1:]:
+            out = out + m(x)
+        return out
+
+
+class TorchDeepLabV2(nn.Module):
+    """deeplabv2/deeplab_v2.py:13-34, naming-exact so
+    utils.torch_port.port_deeplabv2 round-trips its state_dict."""
+
+    def __init__(self, n_channels=1, n_classes=1, layers=(3, 4, 23),
+                 output_stride=16):
+        super().__init__()
+        self.backbone = _TV2ResNet(n_channels, layers, output_stride)
+        self.classifier = _TV2Classifier(n_classes)
+
+    def forward(self, x):
+        h = self.classifier(self.backbone(x))
+        return nn.functional.interpolate(h, size=x.shape[2:], mode="bilinear",
+                                         align_corners=True)
