@@ -116,6 +116,10 @@ class RunConfig:
     data_axis: int = 1               # data-parallel mesh size: 1 = off,
                                      # 0 = all visible devices, n = first n
                                      # (batch_size must divide the mesh size)
+    multihost: bool = False          # call jax.distributed.initialize() at
+                                     # entry (multi-process DDP analogue,
+                                     # BBDM/main.py:70-87; mesh then spans
+                                     # hosts over DCN)
     amp: bool = True                 # kept for CLI familiarity
 
 

@@ -15,6 +15,40 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_init_distributed(cfg) -> bool:
+    """Multi-process startup (the DDP launcher analogue, BBDM/main.py:70-87,
+    minus mp.spawn — on TPU pods each host runs the same entry command).
+
+    When ``cfg.run.multihost`` is set, calls ``jax.distributed.initialize()``
+    — coordinator address / process count / process id come from the TPU
+    metadata or the standard JAX env vars. Must run before first device use.
+    Returns True when running multi-process afterwards.
+    """
+    if getattr(cfg.run, "multihost", False):
+        jax.distributed.initialize()
+    return jax.process_count() > 1
+
+
+def host_shard_indices(n: int, seed: int, epoch: int) -> np.ndarray:
+    """This process's shard of a shuffled global index range — the
+    DistributedSampler replacement (BBDM/runners/BaseRunner.py:339-345):
+    identical permutation on every host (seeded by epoch), strided by
+    process_index so shards are disjoint and exhaustive."""
+    perm = np.random.default_rng(seed + epoch).permutation(n)
+    return perm[jax.process_index()::jax.process_count()]
+
+
+def global_from_host_local(mesh: Mesh, batch, axis: str = "data"):
+    """Assemble a GLOBAL batch-sharded array from each process's local shard
+    (``jax.make_array_from_process_local_data``). On one process this equals
+    ``shard_batch``; on a pod each host contributes its own rows and the
+    result addresses the full global batch under jit."""
+    sh = batch_sharding(mesh, axis)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        batch)
+
+
 def make_data_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)

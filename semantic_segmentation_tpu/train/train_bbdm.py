@@ -332,6 +332,8 @@ def evaluate_samples(samples: np.ndarray, reals: np.ndarray,
 def main():
     cfg = parse_config()
     cfg.run.name = cfg.run.name or "bbdm"
+    from semantic_segmentation_tpu.parallel.mesh import maybe_init_distributed
+    maybe_init_distributed(cfg)
     train(cfg)
 
 

@@ -411,6 +411,8 @@ def train(cfg: Config, train_iters: int | None = None):
 
 def main():
     cfg = parse_config(preset="end2end_jsrt")
+    from semantic_segmentation_tpu.parallel.mesh import maybe_init_distributed
+    maybe_init_distributed(cfg)
     train(cfg)
 
 

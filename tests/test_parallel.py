@@ -119,3 +119,31 @@ def test_sharded_bf16_engine_step(tmp_path):
         assert np.isfinite(float(v)), k
     # params stay f32 while compute ran in bf16
     assert jax.tree.leaves(state.params)[0].dtype == jnp.float32
+
+
+def test_multihost_helpers_single_process():
+    """Single-process degenerate forms of the multi-host API: initialize is a
+    no-op when multihost=False; host_shard_indices covers the whole range
+    exactly once; global_from_host_local equals a plain sharded device_put."""
+    from semantic_segmentation_tpu.core.config import parse_config
+    from semantic_segmentation_tpu.parallel.mesh import (
+        global_from_host_local, host_shard_indices, maybe_init_distributed,
+        shard_batch)
+
+    cfg = parse_config([])
+    assert maybe_init_distributed(cfg) is False   # single process, no init
+
+    idx = host_shard_indices(10, seed=3, epoch=2)
+    assert sorted(idx.tolist()) == list(range(10))
+    # epoch reshuffles deterministically
+    idx2 = host_shard_indices(10, seed=3, epoch=2)
+    np.testing.assert_array_equal(idx, idx2)
+    assert host_shard_indices(10, seed=3, epoch=4).tolist() != idx.tolist()
+
+    mesh = make_data_mesh(8)
+    batch = {"image": np.arange(8 * 4, dtype=np.float32).reshape(8, 4)}
+    g = global_from_host_local(mesh, batch)
+    ref = shard_batch(mesh, batch)
+    np.testing.assert_array_equal(np.asarray(g["image"]),
+                                  np.asarray(ref["image"]))
+    assert g["image"].sharding == ref["image"].sharding
