@@ -155,8 +155,8 @@ class BilevelEngine:
             return self.outer_loss(st, arch_, val_batch)
 
         child_params = {c: stateK.params[c] for c in self.arch_children}
-        (_, (g_arch_direct, v)) = (None, jax.grad(
-            val_loss_wrt, argnums=(0, 1))(arch, child_params))
+        outer_val, (g_arch_direct, v) = jax.value_and_grad(
+            val_loss_wrt, argnums=(0, 1))(arch, child_params)
 
         hg = g_arch_direct
         last_batches = jax.tree.map(lambda x: x[-1], batch_stack)
@@ -185,7 +185,7 @@ class BilevelEngine:
             hg = jax.tree.map(
                 lambda h, gp, gm: h - p.lr * (gp - gm) / (2.0 * eps),
                 hg, g_plus, g_minus)
-        return hg
+        return hg, outer_val
 
     def _surrogate_unroll(self, state0: EngineState, arch, batch_stack, rng):
         """K inner steps with SGD surrogates w' = w - lr * grad — the DARTS
@@ -247,20 +247,22 @@ class BilevelEngine:
             return state, metrics
 
         if self.hypergrad == "darts":
-            hg = self._darts_hypergrad(state, stateK, batch_stack, val_batch,
-                                       rng_h)
+            # value_and_grad inside: the outer_loss metric is the SAME val
+            # forward the hypergradient needs — no extra evaluation
+            hg, outer_val = self._darts_hypergrad(state, stateK, batch_stack,
+                                                  val_batch, rng_h)
+            metrics["outer_loss"] = outer_val
         elif self.hypergrad == "decay_only":
             hg = jax.tree.map(jnp.zeros_like, stateK.arch)
         else:
             hg = self._unroll_hypergrad(state, batch_stack, val_batch, rng_h)
+            metrics["outer_loss"] = self.outer_loss(stateK, stateK.arch,
+                                                    val_batch)
 
         updates, opt_arch = self.arch_tx.update(hg, stateK.opt_arch,
                                                 stateK.arch)
         new_arch = optax.apply_updates(stateK.arch, updates)
         metrics["arch_grad_norm"] = optax.global_norm(hg)
-        if self.hypergrad != "decay_only":
-            metrics["outer_loss"] = self.outer_loss(stateK, stateK.arch,
-                                                    val_batch)
 
         if self.roll_back:
             params, stats, opts = snapshot
