@@ -246,3 +246,66 @@ def test_darts_engine_step_vs_torch_oracle():
             np.asarray(st.params["w"]["k"]),
             kt.detach().numpy().transpose(2, 3, 1, 0), rtol=1e-4, atol=1e-6,
             err_msg=f"inner params diverged at engine step {s}")
+
+
+# ---------------------------------------------------------------------------
+# (d) BBDM bridge program: p_losses and the full skip-sampling loop vs the
+#     torch restatement of BrownianBridgeModel.py (identical weights, t,
+#     noise; eta=0 makes the sampler deterministic so trajectories compare
+#     exactly)
+# ---------------------------------------------------------------------------
+
+def test_bbdm_bridge_program_matches_torch_oracle():
+    from semantic_segmentation_tpu.models.diffusion.bbdm import (
+        BridgeSchedule, BrownianBridge)
+    from tests.torch_oracles import TorchBridgeOracle
+
+    T, S = 50, 10
+    rng0 = np.random.default_rng(0)
+    w = (rng0.normal(size=(3, 3, 2, 1)) * 0.3).astype(np.float32)  # HWIO
+
+    def denoise_fn(params, x_t, t, context, rng, train):
+        h = jnp.concatenate([x_t, context], axis=-1)
+        out = jax.lax.conv_general_dilated(
+            h, params, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return out * (1.0 + t.astype(jnp.float32)[:, None, None, None] / T)
+
+    w_t = torch.tensor(w.transpose(3, 2, 0, 1))                    # OIHW
+
+    def denoise_torch(x_t, t, context):
+        h = torch.cat([x_t, context], dim=1)
+        out = tF.conv2d(h, w_t, padding=1)
+        return out * (1.0 + t.float().reshape(-1, 1, 1, 1) / T)
+
+    sched = BridgeSchedule(num_timesteps=T, sample_step=S, eta=0.0)
+    bridge = BrownianBridge(denoise_fn, sched, objective="grad",
+                            loss_type="l1", condition_key="first_stage")
+    oracle = TorchBridgeOracle(denoise_torch, T=T, sample_step=S, eta=0.0)
+    np.testing.assert_array_equal(np.asarray(sched.steps),
+                                  oracle.steps.astype(np.int32))
+
+    x0 = rng0.normal(size=(2, 8, 8, 1)).astype(np.float32)
+    y = rng0.normal(size=(2, 8, 8, 1)).astype(np.float32)
+
+    # --- p_losses: replicate the internal t/noise draws -------------------
+    key = jax.random.key(7)
+    loss, aux = bridge.p_losses(jnp.asarray(w), jnp.asarray(x0),
+                                jnp.asarray(y), key)
+    rng_t, rng_n, _ = jax.random.split(key, 3)
+    t = np.asarray(jax.random.randint(rng_t, (2,), 0, T))
+    noise = np.asarray(jax.random.normal(rng_n, x0.shape, jnp.float32))
+    loss_t, x0_rec_t = oracle.p_losses(
+        _nchw(x0), _nchw(y), torch.tensor(t, dtype=torch.long), _nchw(noise))
+    np.testing.assert_allclose(float(loss), float(loss_t), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(aux["x0_recon"]),
+        x0_rec_t.numpy().transpose(0, 2, 3, 1), atol=1e-5)
+
+    # --- the full 10-step ancestral sampling trajectory -------------------
+    img = bridge.p_sample_loop(jnp.asarray(w), jnp.asarray(y),
+                               jax.random.key(1))
+    img_t = oracle.p_sample_loop(_nchw(y))
+    np.testing.assert_allclose(np.asarray(img),
+                               img_t.numpy().transpose(0, 2, 3, 1),
+                               atol=2e-5)

@@ -659,3 +659,81 @@ class TorchDeepLabV2(nn.Module):
         h = self.classifier(self.backbone(x))
         return nn.functional.interpolate(h, size=x.shape[2:], mode="bilinear",
                                          align_corners=True)
+
+
+class TorchBridgeOracle:
+    """BrownianBridgeModel.py:42-221 restated: the m_t/variance schedule and
+    linear skip-sampling table (register_schedule :42-79), q_sample (:128-146),
+    p_losses with explicit t/noise (:98-126), predict_x0 (:148-161), and the
+    ancestral p_sample loop (:171-221). ``denoise(x_t, t, context)`` is a
+    caller-supplied torch callable."""
+
+    def __init__(self, denoise, T=100, sample_step=10, objective="grad",
+                 loss_type="l1", max_var=1.0, eta=0.0):
+        self.denoise = denoise
+        self.objective, self.loss_type, self.eta = objective, loss_type, eta
+        m_t = np.linspace(0.001, 0.999, T)
+        var = 2.0 * (m_t - m_t ** 2) * max_var
+        midsteps = np.arange(T - 1, 1,
+                             -((T - 1) / (sample_step - 2))).astype(np.int64)
+        self.steps = np.concatenate([midsteps, [1, 0]])
+        self.m_t = torch.tensor(m_t, dtype=torch.float32)
+        self.var_t = torch.tensor(var, dtype=torch.float32)
+
+    def _ext(self, table, t):
+        return table[t].reshape(-1, 1, 1, 1)
+
+    def q_sample(self, x0, y, t, noise):
+        m_t, var_t = self._ext(self.m_t, t), self._ext(self.var_t, t)
+        sigma_t = torch.sqrt(var_t)
+        if self.objective == "grad":
+            objective = m_t * (y - x0) + sigma_t * noise
+        elif self.objective == "ysubx":
+            objective = y - x0
+        else:
+            objective = noise
+        return (1.0 - m_t) * x0 + m_t * y + sigma_t * noise, objective
+
+    def predict_x0(self, x_t, y, t, objective_recon):
+        if self.objective == "grad":
+            return x_t - objective_recon
+        if self.objective == "ysubx":
+            return y - objective_recon
+        m_t, var_t = self._ext(self.m_t, t), self._ext(self.var_t, t)
+        return (x_t - m_t * y - torch.sqrt(var_t) * objective_recon) / (1.0 - m_t)
+
+    def p_losses(self, x0, y, t, noise):
+        x_t, objective = self.q_sample(x0, y, t, noise)
+        objective_recon = self.denoise(x_t, t, y)
+        if self.loss_type == "l1":
+            recloss = (objective - objective_recon).abs().mean()
+        else:
+            recloss = torch.mean((objective - objective_recon) ** 2)
+        x0_recon = self.predict_x0(x_t, y, t, objective_recon)
+        return recloss, x0_recon
+
+    @torch.no_grad()
+    def p_sample_loop(self, y, clip_denoised=True):
+        img = y
+        for i in range(len(self.steps)):
+            b = y.shape[0]
+            t = torch.full((b,), int(self.steps[i]), dtype=torch.long)
+            objective_recon = self.denoise(img, t, y)
+            x0_recon = self.predict_x0(img, y, t, objective_recon)
+            if clip_denoised:
+                x0_recon = x0_recon.clamp(-1.0, 1.0)
+            if int(self.steps[i]) == 0:
+                img = x0_recon
+                continue
+            n_t = torch.full((b,), int(self.steps[i + 1]), dtype=torch.long)
+            m_t, m_nt = self._ext(self.m_t, t), self._ext(self.m_t, n_t)
+            var_t, var_nt = self._ext(self.var_t, t), self._ext(self.var_t, n_t)
+            sigma2_t = (var_t - var_nt * (1.0 - m_t) ** 2 /
+                        (1.0 - m_nt) ** 2) * var_nt / var_t
+            sigma_t = torch.sqrt(sigma2_t) * self.eta
+            noise = torch.randn_like(img)
+            mean = (1.0 - m_nt) * x0_recon + m_nt * y + \
+                torch.sqrt((var_nt - sigma2_t) / var_t) * \
+                (img - (1.0 - m_t) * x0_recon - m_t * y)
+            img = mean + sigma_t * noise
+        return img
