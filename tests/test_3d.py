@@ -133,3 +133,38 @@ def test_end2end_3d_smoke(tmp_path):
     state, results = train(cfg, train_iters=2, crop=16, num_downs=3)
     assert np.isfinite(results["best_val"])
     assert int(state.step) == 2
+
+
+def test_3d_generator_losses_match_torch(rng_np):
+    """Masked-L1(sum)/|mask| * lambda + tumor-MSE(sum)/|truth| * gamma with
+    the zero_division guard (GenSeg-3D/train_end2end.py:145-161,
+    util/util.py:25-26) vs a torch restatement."""
+    import torch
+    from semantic_segmentation_tpu.ops import losses
+
+    lam, gamma = 100.0, 10.0
+    shape = (2, 8, 8, 8, 1)
+    fake = rng_np.random(shape).astype(np.float32)
+    real = rng_np.random(shape).astype(np.float32)
+    mask = (rng_np.random(shape) > 0.5).astype(np.float32)
+    truth = (rng_np.random(shape) > 0.8).astype(np.float32)
+
+    def ours(m, t):
+        l1 = losses.zero_division(
+            losses.l1_loss_sum(fake * m, real * m) * lam, jnp.sum(m))
+        tmse = losses.zero_division(
+            losses.mse_loss_sum(fake * t, real * t) * gamma, jnp.sum(t))
+        return float(l1 + tmse)
+
+    ft, rt = torch.tensor(fake), torch.tensor(real)
+    mt, tt = torch.tensor(mask), torch.tensor(truth)
+    l1_t = torch.nn.functional.l1_loss(ft * mt, rt * mt,
+                                       reduction="sum") * lam / mt.sum()
+    mse_t = torch.nn.functional.mse_loss(ft * tt, rt * tt,
+                                         reduction="sum") * gamma / tt.sum()
+    np.testing.assert_allclose(ours(mask, truth), float(l1_t + mse_t),
+                               rtol=1e-5)
+
+    # tumor-free volume: the zero_division guard returns 0 for the MSE term
+    zero_truth = np.zeros(shape, np.float32)
+    np.testing.assert_allclose(ours(mask, zero_truth), float(l1_t), rtol=1e-5)
