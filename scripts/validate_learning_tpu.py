@@ -19,7 +19,9 @@ from semantic_segmentation_tpu.train.train_end2end import train  # noqa: E402
 
 
 def main():
-    cfg = parse_config([])
+    # the SHIPPED flagship preset (hypergrad='decay_only' — trajectory-
+    # identical to darts under the reference wiring, tested)
+    cfg = parse_config([], preset="end2end_jsrt")
     cfg.data.synthetic = True
     cfg.data.image_size = 256
     cfg.data.n_train = 7
