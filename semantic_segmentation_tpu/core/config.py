@@ -120,6 +120,10 @@ class RunConfig:
                                      # entry (multi-process DDP analogue,
                                      # BBDM/main.py:70-87; mesh then spans
                                      # hosts over DCN)
+    spatial_axis: int = 1            # 3D spatial-parallel mesh size (volume
+                                     # depth sharded over chips; XLA inserts
+                                     # the conv halo exchanges): 1 = off,
+                                     # 0 = all devices — parallel/spatial.py
     amp: bool = True                 # kept for CLI familiarity
 
 

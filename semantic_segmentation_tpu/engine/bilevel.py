@@ -99,6 +99,10 @@ class BilevelEngine:
         # Skipping its computation (one full val backward + two train-loss
         # arch grads per iteration) is TRAJECTORY-IDENTICAL (tested) and
         # strictly faster; the arch still moves through Adam weight decay.
+        # Under roll_back the pre-arch-update unroll is dead compute too
+        # (its result is discarded by the rollback and the arch update does
+        # not read it) — engine_step elides it as well, halving the
+        # inner-step cost per engine iteration.
         assert hypergrad in ("darts", "unroll", "none", "decay_only")
 
     # ------------------------------------------------------------------
@@ -237,6 +241,30 @@ class BilevelEngine:
         """
         rng_u, rng_h, rng_r = jax.random.split(rng, 3)
         snapshot = (state.params, state.stats, state.opts)
+
+        if self.hypergrad == "decay_only" and self.roll_back:
+            # Structural-zero fast path, stage 2: with hg ≡ 0 the arch update
+            # depends only on (arch, opt_arch) — which no inner step touches —
+            # and roll_back then DISCARDS the unrolled params entirely (the
+            # kept trajectory is replay(snapshot, new_arch)). The pre-arch
+            # unroll is therefore dead compute: skip it and run the replay
+            # directly under the updated arch, with the SAME rng_r the
+            # rollback replay would have used — bit-identical params/arch
+            # trajectory to hypergrad='darts' (tested in tests/test_engine.py
+            # ::test_decay_only_mode_identical_to_darts_under_reference_wiring)
+            # at half the inner-step cost.
+            hg = jax.tree.map(jnp.zeros_like, state.arch)
+            updates, opt_arch = self.arch_tx.update(hg, state.opt_arch,
+                                                    state.arch)
+            new_arch = optax.apply_updates(state.arch, updates)
+            state = state.replace(arch=new_arch, opt_arch=opt_arch)
+            state, replay_metrics = self._unroll(state, new_arch, batch_stack,
+                                                 rng_r)
+            metrics = dict(replay_metrics)
+            metrics.update({f"replay_{k}": v
+                            for k, v in replay_metrics.items()})
+            metrics["arch_grad_norm"] = optax.global_norm(hg)
+            return state.replace(step=state.step + 1), metrics
 
         stateK, inner_metrics = self._unroll(state, state.arch, batch_stack,
                                              rng_u)

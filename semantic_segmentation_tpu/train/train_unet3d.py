@@ -54,10 +54,24 @@ def train(cfg: Config, train_iters: int | None = None, crop: int = 64):
         return model.apply({"params": params, "batch_stats": stats}, vol,
                            train=False)
 
+    # spatial parallelism (run.spatial_axis): volume depth sharded over the
+    # mesh, params replicated — XLA inserts the conv halo exchanges
+    # (parallel/spatial.py; beyond-parity, SURVEY.md §5)
+    from semantic_segmentation_tpu.parallel.spatial import (
+        replicate_state, shard_volume_batch, spatial_mesh_from_config)
+    sp_mesh = spatial_mesh_from_config(cfg)
+    if sp_mesh is not None:
+        params, stats, opt = replicate_state(sp_mesh, (params, stats, opt))
+
+    def place(batch):
+        return shard_volume_batch(sp_mesh, batch) if sp_mesh is not None \
+            else batch
+
     def evaluate(data):
         tot, cnt = 0.0, 0
         for b in eval_batches(data, cfg.data.batch_size):
-            logits = infer(params, stats, b["B"].astype(np.float32))
+            logits = infer(params, stats,
+                           place(b["B"].astype(np.float32)))
             tot += float(losses.argmax_dice_score(
                 logits, b["mask"][..., 0].astype(np.float32)))
             cnt += 1
@@ -71,7 +85,7 @@ def train(cfg: Config, train_iters: int | None = None, crop: int = 64):
     while it < iters:
         rng = np.random.default_rng((cfg.run.seed, epoch))
         for batch in batch_iterator(splits["train"], cfg.data.batch_size, rng):
-            params, stats, opt, loss = step(params, stats, opt, batch)
+            params, stats, opt, loss = step(params, stats, opt, place(batch))
             it += 1
             if it % cfg.engine.valid_step == 0:
                 val = evaluate(splits["val"])

@@ -18,6 +18,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: the suite compiles several large chunked-engine
+# programs (minutes each on this 1-core box) and the XLA CPU compiler has
+# aborted flakily under that load in long-lived processes — with the cache a
+# rerun resumes near-instantly past everything already compiled.
+from semantic_segmentation_tpu.core.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

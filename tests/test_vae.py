@@ -133,7 +133,8 @@ def test_vae_vgg_perceptual_option(tmp_path):
     from semantic_segmentation_tpu.models.vae.sivae import SoftIntroVAE
     import jax.numpy as jnp
     hp = SIVAEParams(recon_loss_type="vgg", num_vae=1)
-    model = SoftIntroVAE(latent_dim=4, output_nc=3, ngf=8, dtype=jnp.float32)
+    model = SoftIntroVAE(latent_dim=4, output_nc=3, ngf=8, netG="unet_32",
+                         dtype=jnp.float32)
     trainer = SIVAETrainer(model, hp, 32)
     state = trainer.init(jax.random.key(0), 32)
     rng = np.random.default_rng(0)
