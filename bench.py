@@ -5,8 +5,9 @@ reference regime (256x256, batch 2, U-Net seg + unet_256 generator + PatchGAN
 (chunked device-side loop of train/train_end2end.py) with the SHIPPED
 flagship preset (hypergrad='decay_only': the darts hypergradient is
 identically zero under the reference wiring, so the preset elides its
-computation with a tested trajectory-identical guarantee; the unelided
-darts-mode number is reported alongside as ``iters_per_sec_darts_mode``).
+computation AND the pre-arch unroll that rollback discards — same math,
+tested bit-identical under identical compilation; the unelided darts-mode
+number is reported alongside as ``iters_per_sec_darts_mode``).
 
 Baseline: the reference reports ~1.5 h for 5,000 iterations on one A100-40G
 (README.md:34) = 0.926 iter/s. ``vs_baseline`` = ours / 0.926 (higher is
@@ -137,8 +138,9 @@ def main():
         "metric": "end2end_bilevel_iters_per_sec",
         "value": round(iters_per_sec, 4),
         "unit": ("iter/s (256^2, batch 2, flagship-preset bilevel step incl. "
-                 "unroll+rollback; provably-zero darts term elided, "
-                 "trajectory-identical — tested)"),
+                 "unroll+rollback; provably-zero darts term + rollback-"
+                 "discarded unroll elided — same math, CPU-bit-identical, "
+                 "tested)"),
         "vs_baseline": round(iters_per_sec / BASELINE_ITERS_PER_SEC, 3),
         "seg_imgs_per_sec_per_chip": round(seg_imgs, 2),
         "iters_per_sec_darts_mode": round(iters_darts, 4),

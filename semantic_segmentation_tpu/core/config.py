@@ -144,10 +144,11 @@ class Config:
 
 PRESETS: dict[str, dict[str, Any]] = {
     # scripts/train_end2end_jsrt.sh. hypergrad=decay_only skips the darts
-    # computation that is PROVABLY zero under this wiring — trajectory
-    # IDENTICAL to the full darts mode (tests/test_engine.py) and measured
-    # 38% faster on v5e (8.0 -> 11.0 it/s). Pass --engine.hypergrad=darts
-    # to burn the same FLOPs the reference does.
+    # computation that is PROVABLY zero under this wiring — plus the
+    # pre-arch unroll that rollback would discard (engine/bilevel.py) —
+    # trajectory IDENTICAL to the full darts mode (tests/test_engine.py)
+    # and measured 2.1x faster on v5e (8.0 -> 16.5 it/s). Pass
+    # --engine.hypergrad=darts to burn the same FLOPs the reference does.
     "end2end_jsrt": {"engine.hypergrad": "decay_only"},
     # scripts/train_pix2pix_lung.sh (200 epochs x 80 imgs, lr 2e-5)
     "pix2pix_jsrt": {"optim.lr": 2e-5, "engine.train_iters": 8000,

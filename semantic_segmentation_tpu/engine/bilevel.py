@@ -249,10 +249,15 @@ class BilevelEngine:
             # kept trajectory is replay(snapshot, new_arch)). The pre-arch
             # unroll is therefore dead compute: skip it and run the replay
             # directly under the updated arch, with the SAME rng_r the
-            # rollback replay would have used — bit-identical params/arch
-            # trajectory to hypergrad='darts' (tested in tests/test_engine.py
-            # ::test_decay_only_mode_identical_to_darts_under_reference_wiring)
-            # at half the inner-step cost.
+            # rollback replay would have used — identical math at half the
+            # inner-step cost. Bit-identical to hypergrad='darts' under
+            # identical compilation (CPU f32, tests/test_engine.py::
+            # test_decay_only_mode_identical_to_darts_under_reference_wiring);
+            # on TPU the darts/fast graphs compile to different fusions whose
+            # bf16 roundings differ at ~1e-6/step (measured), which chaotic
+            # small-batch GAN programs amplify into distinct (statistically
+            # equivalent) trajectories — the same class of divergence as an
+            # XLA version bump.
             hg = jax.tree.map(jnp.zeros_like, state.arch)
             updates, opt_arch = self.arch_tx.update(hg, state.opt_arch,
                                                     state.arch)

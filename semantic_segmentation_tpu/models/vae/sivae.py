@@ -246,8 +246,12 @@ class SoftIntroVAE:
                  dtype=jnp.bfloat16):
         self.latent_dim = latent_dim
         self.encoder = ResNet18Encoder(latent_dim, dtype=dtype)
-        num_downs = {"unet_128": 7, "unet_256": 8, "unet_64": 6,
-                     "unet_32": 5}[netG]
+        # reference pairing (models.py:152-156): unet_128 -> 7 downs,
+        # unet_256 -> 8; generically num_downs = log2(N) (the decoder must
+        # reduce N x N to 1 x 1)
+        import math
+        size = int(netG.split("_")[1])
+        num_downs = max(int(math.log2(size)), 3)
         self.decoder = GUnetAddInput(output_nc, latent_dim, num_downs, ngf,
                                      dtype=dtype)
 

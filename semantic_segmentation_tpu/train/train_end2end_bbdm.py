@@ -136,22 +136,28 @@ def train(cfg: Config, train_iters: int | None = None,
     iters = train_iters or cfg.engine.train_iters
     best_val, it = 0.0, 0
     while it < iters:
-        idx_stack = {n: np.stack([next(s) for _ in range(K)])
+        # chunked dispatch: one host->device call per validation interval
+        # (engine_run_chunk scans S engine iterations on device) — same
+        # per-name index-stream order and rng folds as the per-step form,
+        # so the trajectory is identical
+        S = min(cfg.engine.valid_step, iters - it)
+        idx_chunk = {n: np.stack([np.stack([next(s) for _ in range(K)])
+                                  for _ in range(S)])
                      for n, s in streams.items()}
-        state, metrics = engine.engine_step_sampled(
-            state, train_dev, val_dev, idx_stack, next(val_stream),
+        val_idx_chunk = np.stack([next(val_stream) for _ in range(S)])
+        state, metrics = engine.engine_run_chunk(
+            state, train_dev, val_dev, idx_chunk, val_idx_chunk,
             jnp.int32(it), root, names)
-        it += 1
-        if it % cfg.engine.valid_step == 0:
-            val = evaluate_seg(seg, state.params["unet"],
-                               state.stats["unet"], splits["val"],
-                               cfg.data.batch_size, seg.n_classes)
-            if val > best_val:
-                best_val = val
-                ckpt.save(it, jax.device_get(state), {"val_score": val},
-                          force=True)
-            log.log({**{k: float(v) for k, v in metrics.items()},
-                     "val_score": val, "best_val": best_val}, it)
+        it += S
+        val = evaluate_seg(seg, state.params["unet"],
+                           state.stats["unet"], splits["val"],
+                           cfg.data.batch_size, seg.n_classes)
+        if val > best_val:
+            best_val = val
+            ckpt.save(it, jax.device_get(state), {"val_score": val},
+                      force=True)
+        log.log({**{k: float(v) for k, v in metrics.items()},
+                 "val_score": val, "best_val": best_val}, it)
 
     results = {"best_val": best_val}
     if splits["test"] is not None:

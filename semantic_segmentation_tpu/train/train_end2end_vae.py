@@ -42,8 +42,13 @@ def build(cfg: Config, model: SoftIntroVAE | None = None,
           hp: SIVAEParams | None = None):
     hp = hp or SIVAEParams()
     dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
+    # decoder depth paired to the image size (reference: unet_128 at 128px,
+    # unet_256 at 256px — config/model/defaults_vae.yaml + BCGAN_large);
+    # num_downs must reduce the image to 1x1, so smaller sizes get shallower
+    # decoders instead of an empty-axis crash
+    netG = f"unet_{cfg.data.image_size}"
     model = model or SoftIntroVAE(latent_dim=8, output_nc=3,
-                                  ngf=cfg.model.ngf, dtype=dtype)
+                                  ngf=cfg.model.ngf, netG=netG, dtype=dtype)
     seg = SegProblem("unet", cfg.model.output_nc, cfg.model.classes,
                      lr=cfg.optim.unet_lr, loss_type="jaccard",
                      compute_dtype=dtype,
@@ -155,22 +160,26 @@ def train(cfg: Config, train_iters: int | None = None,
     iters = train_iters or cfg.engine.train_iters
     best_val, it = 0.0, 0
     while it < iters:
-        idx_stack = {n: np.stack([next(s) for _ in range(K)])
+        # chunked dispatch (one host->device call per validation interval;
+        # identical trajectory — same index-stream order and rng folds)
+        S = min(cfg.engine.valid_step, iters - it)
+        idx_chunk = {n: np.stack([np.stack([next(s) for _ in range(K)])
+                                  for _ in range(S)])
                      for n, s in streams.items()}
-        state, metrics = engine.engine_step_sampled(
-            state, train_dev, val_dev, idx_stack, next(val_stream),
+        val_idx_chunk = np.stack([next(val_stream) for _ in range(S)])
+        state, metrics = engine.engine_run_chunk(
+            state, train_dev, val_dev, idx_chunk, val_idx_chunk,
             jnp.int32(it), root, names)
-        it += 1
-        if it % cfg.engine.valid_step == 0:
-            val = evaluate_seg(seg, state.params["unet"],
-                               state.stats["unet"], splits["val"],
-                               cfg.data.batch_size, seg.n_classes)
-            if val > best_val:
-                best_val = val
-                ckpt.save(it, jax.device_get(state), {"val_score": val},
-                          force=True)
-            log.log({**{k: float(v_) for k, v_ in metrics.items()},
-                     "val_score": val, "best_val": best_val}, it)
+        it += S
+        val = evaluate_seg(seg, state.params["unet"],
+                           state.stats["unet"], splits["val"],
+                           cfg.data.batch_size, seg.n_classes)
+        if val > best_val:
+            best_val = val
+            ckpt.save(it, jax.device_get(state), {"val_score": val},
+                      force=True)
+        log.log({**{k: float(v_) for k, v_ in metrics.items()},
+                 "val_score": val, "best_val": best_val}, it)
 
     results = {"best_val": best_val}
     if splits["test"] is not None:

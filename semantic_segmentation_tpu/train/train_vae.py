@@ -227,8 +227,12 @@ def train(cfg: Config, train_iters: int | None = None,
           hp: SIVAEParams | None = None, model: SoftIntroVAE | None = None):
     hp = hp or SIVAEParams()
     dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
+    # decoder depth paired to the image size (reference: unet_128 at 128px,
+    # unet_256 at 256px — config/model/defaults_vae.yaml + BCGAN_large)
     model = model or SoftIntroVAE(latent_dim=8, output_nc=3,
-                                  ngf=cfg.model.ngf, dtype=dtype)
+                                  ngf=cfg.model.ngf,
+                                  netG=f"unet_{cfg.data.image_size}",
+                                  dtype=dtype)
     trainer = SIVAETrainer(model, hp, cfg.data.image_size)
     state = trainer.init(jax.random.key(cfg.run.seed), cfg.data.image_size)
     splits = load_splits(cfg)
