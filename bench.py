@@ -1,6 +1,6 @@
 """Headline benchmark: end-to-end GenSeg bilevel training throughput at the
 reference regime (256x256, batch 2, U-Net seg + unet_256 generator + PatchGAN
-+ arch step + rollback replay — the engine iteration of
++ arch step + rollback — the engine iteration of
 ``scripts/train_end2end_jsrt.sh``), measured as executed by the real trainer
 (chunked device-side loop of train/train_end2end.py) with the SHIPPED
 flagship preset (hypergrad='decay_only': the darts hypergradient is
@@ -8,6 +8,16 @@ identically zero under the reference wiring, so the preset elides its
 computation AND the pre-arch unroll that rollback discards — same math,
 tested bit-identical under identical compilation; the unelided darts-mode
 number is reported alongside as ``iters_per_sec_darts_mode``).
+
+Also reported: a CAPACITY row (identical program at batch 8) showing the
+throughput the hardware reaches once the regime gives the MXU real work —
+the reference's batch-2 regime is dispatch/HBM-bound by construction.
+
+Each stage runs in its own subprocess: the tunneled TPU backend does not
+reliably return freed HBM to later allocations in the same process, and the
+batch-8 stage plus two batch-2 engines RESOURCE_EXHAUSTs a 16 GB v5e-lite
+when co-resident. The persistent compile cache keeps the per-stage startup
+cheap after the first run.
 
 Baseline: the reference reports ~1.5 h for 5,000 iterations on one A100-40G
 (README.md:34) = 0.926 iter/s. ``vs_baseline`` = ours / 0.926 (higher is
@@ -18,21 +28,28 @@ return before remote execution finishes; the timing below syncs by pulling a
 metric scalar with ``device_get`` after each chunk, so the number is honest
 end-to-end training throughput.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 
 BASELINE_ITERS_PER_SEC = 5000.0 / (1.5 * 3600.0)  # A100-40G reference
+S = 25  # chunk size (one validation interval)
 
 
-def main():
+def run_stage(stage: str) -> dict:
+    """One measurement in a private process/HBM. stage:
+    'headline' (shipped preset, batch 2), 'darts' (unelided, batch 2),
+    'capacity' (shipped preset, batch 8)."""
     from semantic_segmentation_tpu.core.cache import enable_persistent_cache
     enable_persistent_cache()
     import jax
@@ -43,16 +60,16 @@ def main():
     from semantic_segmentation_tpu.train.train_end2end import (
         build_engine_and_state)
 
-    # Headline = the engine exactly as the SHIPPED flagship preset runs it
-    # (end2end_jsrt -> hypergrad='decay_only': the darts term is identically
-    # zero under the reference wiring — elided with a TESTED trajectory-
-    # identical guarantee; unroll + arch Adam step + rollback replay remain).
-    cfg = parse_config([], preset="end2end_jsrt")
+    batch_size = 8 if stage == "capacity" else 2
+    n_chunks = 4 if stage == "capacity" else 8
+    overrides = ["--engine.hypergrad=darts"] if stage == "darts" else []
+
+    cfg = parse_config(overrides, preset="end2end_jsrt")
     cfg.data.synthetic = True          # synthetic JSRT-shaped data
     cfg.data.image_size = 256
-    cfg.data.batch_size = 2
+    cfg.data.batch_size = batch_size
     # full reference model sizes: ngf=ndf=64, unet_256, UNet-64
-    engine, state, p2p, seg = build_engine_and_state(cfg, jax.random.key(0))
+    engine, state, _, _ = build_engine_and_state(cfg, jax.random.key(0))
 
     data = stack_dataset(SyntheticSegDataset(n=7, size=256))
     train_dev = device_put_split({k: np.asarray(v) for k, v in data.items()})
@@ -61,100 +78,110 @@ def main():
     names = ("netG", "netD", "unet")
     root = jax.random.key(1)
     rng = np.random.default_rng(0)
-    S = 25  # chunk size (one validation interval)
 
     def run_chunk(state, i):
-        idx = {n: rng.integers(0, 7, size=(S, 1, 2)) for n in names}
-        vidx = rng.integers(0, 2, size=(S, 2))
+        idx = {n: rng.integers(0, 7, size=(S, 1, batch_size)) for n in names}
+        vidx = rng.integers(0, 2, size=(S, batch_size))
         return engine.engine_run_chunk(state, train_dev, val_dev, idx, vidx,
                                        jnp.int32(i * S), root, names)
 
     # warmup / compile, with a true sync
     state, metrics = run_chunk(state, 0)
     jax.device_get(metrics)
-
-    n_chunks = 8
     t0 = time.perf_counter()
     for i in range(1, n_chunks + 1):
         state, metrics = run_chunk(state, i)
     jax.device_get(metrics)           # sync on the final chunk's output
-    dt = time.perf_counter() - t0
+    iters_per_sec = n_chunks * S / (time.perf_counter() - t0)
 
-    iters_per_sec = n_chunks * S / dt
+    out = {"iters_per_sec": iters_per_sec, "batch_size": batch_size,
+           "device_kind": jax.devices()[0].device_kind,
+           "n_devices": jax.device_count()}
 
-    # --- honest utilization accounting (VERDICT r1 item 3) ---------------
-    # FLOPs of one engine iteration from the compiled executable itself
-    flops_per_iter = None
-    try:
-        idx = {n: rng.integers(0, 7, size=(S, 1, 2)) for n in names}
-        vidx = rng.integers(0, 2, size=(S, 2))
-        # static-argname jits need `self` passed explicitly through .lower
-        compiled = engine.engine_run_chunk.lower(
-            engine, state, train_dev, val_dev, idx, vidx, jnp.int32(0), root,
-            names).compile()
-        ca = compiled.cost_analysis()
-        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-        if ca and "flops" in ca:
-            flops_per_iter = float(ca["flops"]) / S
-    except Exception:
-        pass
+    if stage != "darts":
+        # FLOPs of one engine iteration from the compiled executable itself
+        try:
+            idx = {n: rng.integers(0, 7, size=(S, 1, batch_size))
+                   for n in names}
+            vidx = rng.integers(0, 2, size=(S, batch_size))
+            compiled = engine.engine_run_chunk.lower(
+                engine, state, train_dev, val_dev, idx, vidx, jnp.int32(0),
+                root, names).compile()
+            ca = compiled.cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            if ca and "flops" in ca:
+                out["flops_per_iter"] = float(ca["flops"]) / S
+        except Exception:
+            pass
+    return out
+
+
+def main():
+    results = {}
+    for stage in ("capacity", "headline", "darts"):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env={**os.environ, "BENCH_STAGE": stage},
+            capture_output=True, text=True)
+        last = [l for l in proc.stdout.strip().splitlines() if l][-1:]
+        if proc.returncode != 0 or not last:
+            print(json.dumps({"metric": "end2end_bilevel_iters_per_sec",
+                              "value": None,
+                              "error": f"stage {stage} failed",
+                              "stderr": proc.stderr[-800:]}))
+            return
+        results[stage] = json.loads(last[0])
+
+    head, darts, cap = (results["headline"], results["darts"],
+                        results["capacity"])
+    ips = head["iters_per_sec"]
+    flops = head.get("flops_per_iter")
 
     # peak bf16 matmul throughput per chip (public spec sheets)
     peaks = {"v5lite": 197e12, "v5e": 197e12, "v5p": 459e12, "v4": 275e12,
              "v6e": 918e12, "trillium": 918e12}
-    kind = jax.devices()[0].device_kind.lower().replace(" ", "")
+    kind = head["device_kind"].lower().replace(" ", "")
     peak = next((v for k, v in peaks.items() if k in kind), None)
-    mfu = (flops_per_iter * iters_per_sec / peak
-           if flops_per_iter and peak else None)
 
-    # secondary: the unelided darts-mode engine (--engine.hypergrad=darts),
-    # i.e. with the structurally-zero hypergradient computed like the
-    # reference/Betty does
-    cfg2 = parse_config(["--engine.hypergrad=darts"])
-    cfg2.data.synthetic = True
-    engine2, state2, _, _ = build_engine_and_state(cfg2, jax.random.key(0))
-
-    def run_chunk2(state, i):
-        idx = {n: rng.integers(0, 7, size=(S, 1, 2)) for n in names}
-        vidx = rng.integers(0, 2, size=(S, 2))
-        return engine2.engine_run_chunk(state, train_dev, val_dev, idx, vidx,
-                                        jnp.int32(i * S), root, names)
-
-    state2, m2 = run_chunk2(state2, 0)
-    jax.device_get(m2)
-    t0 = time.perf_counter()
-    for i in range(1, n_chunks + 1):
-        state2, m2 = run_chunk2(state2, i)
-    jax.device_get(m2)
-    iters_darts = n_chunks * S / (time.perf_counter() - t0)
+    def mfu_of(fl, r):
+        return round(fl * r / peak, 4) if (fl and peak) else None
 
     # BASELINE.md's named throughput metric. Definition: segmentation images
     # the seg net TRAINS on per second per chip — each bilevel iteration
     # runs the unet problem on batch_size real + batch_size generated images
-    # (train_end2end_jsrt.py:177-226), so 2 * batch = 4 seg images/iter.
-    seg_imgs = 2 * cfg.data.batch_size * iters_per_sec / jax.device_count()
-
+    # (train_end2end_jsrt.py:177-226), so 2 * batch seg images/iter.
+    n_dev = head["n_devices"]
     print(json.dumps({
         "metric": "end2end_bilevel_iters_per_sec",
-        "value": round(iters_per_sec, 4),
+        "value": round(ips, 4),
         "unit": ("iter/s (256^2, batch 2, flagship-preset bilevel step incl. "
                  "unroll+rollback; provably-zero darts term + rollback-"
                  "discarded unroll elided — same math, CPU-bit-identical, "
                  "tested)"),
-        "vs_baseline": round(iters_per_sec / BASELINE_ITERS_PER_SEC, 3),
-        "seg_imgs_per_sec_per_chip": round(seg_imgs, 2),
-        "iters_per_sec_darts_mode": round(iters_darts, 4),
-        "flops_per_iter": flops_per_iter,
-        "mfu": round(mfu, 4) if mfu is not None else None,
-        "mfu_note": ("regime-bound: the reference regime is batch 2 at 256^2 "
-                     "(see flops_per_iter, incl. rollback replay) — far too "
-                     "little work per step to fill the MXU; throughput here "
-                     "is HBM/dispatch-bound, which is why iters/s (the "
-                     "wall-clock-relevant number) is the headline."),
-        "device_kind": jax.devices()[0].device_kind,
-        "n_devices": jax.device_count(),
+        "vs_baseline": round(ips / BASELINE_ITERS_PER_SEC, 3),
+        "seg_imgs_per_sec_per_chip": round(2 * 2 * ips / n_dev, 2),
+        "iters_per_sec_darts_mode": round(darts["iters_per_sec"], 4),
+        "flops_per_iter": flops,
+        "mfu": mfu_of(flops, ips),
+        "mfu_note": ("regime-bound: batch 2 at 256^2 is far too little work "
+                     "per step to fill the MXU — the reference regime is "
+                     "dispatch/HBM-bound, which is why iters/s (the "
+                     "wall-clock-relevant number) is the headline; see the "
+                     "batch8 capacity row for the same program with real "
+                     "per-step work."),
+        "batch8_iters_per_sec": round(cap["iters_per_sec"], 4),
+        "batch8_seg_imgs_per_sec_per_chip": round(
+            2 * 8 * cap["iters_per_sec"] / n_dev, 2),
+        "batch8_mfu": mfu_of(cap.get("flops_per_iter"),
+                             cap["iters_per_sec"]),
+        "device_kind": head["device_kind"],
+        "n_devices": n_dev,
     }))
 
 
 if __name__ == "__main__":
-    main()
+    stage = os.environ.get("BENCH_STAGE")
+    if stage:
+        print(json.dumps(run_stage(stage)))
+    else:
+        main()

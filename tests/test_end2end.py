@@ -105,3 +105,45 @@ def test_photometric_per_image_varies_within_batch():
             diverged = True
             break
     assert diverged
+
+
+def test_engine_run_chunk_equals_per_step_dispatch():
+    """engine_run_chunk(S) must reproduce S engine_step_sampled calls
+    bit-for-bit (same index streams, same rng folds) — the guarantee the
+    chunked trainers (2D/3D/BBDM/VAE) rely on."""
+    from semantic_segmentation_tpu.train.train_end2end import (
+        build_engine_and_state)
+    from semantic_segmentation_tpu.data import (SyntheticSegDataset,
+                                                stack_dataset)
+    from semantic_segmentation_tpu.data.pipeline import device_put_split
+    import jax.numpy as jnp
+
+    cfg = tiny_cfg("/tmp/unused_chunk")
+    engine, state0, p2p, seg = build_engine_and_state(cfg, jax.random.key(0))
+    data = stack_dataset(SyntheticSegDataset(n=4, size=32))
+    train_dev = device_put_split({k: np.asarray(v) for k, v in data.items()})
+    val_dev = device_put_split({k: np.asarray(v)[:2]
+                                for k, v in data.items()})
+    names = ("netG", "netD", "unet")
+    rng_np = np.random.default_rng(0)
+    S, K, B = 3, 1, 2
+    idx_chunk = {n: rng_np.integers(0, 4, size=(S, K, B)) for n in names}
+    vidx_chunk = rng_np.integers(0, 2, size=(S, B))
+    root = jax.random.key(5)
+
+    st_chunk, m_chunk = engine.engine_run_chunk(
+        state0, train_dev, val_dev, idx_chunk, vidx_chunk, jnp.int32(0),
+        root, names)
+
+    st = state0
+    for s in range(S):
+        st, m = engine.engine_step_sampled(
+            st, train_dev, val_dev,
+            {n: idx_chunk[n][s] for n in names}, vidx_chunk[s],
+            jnp.int32(s), root, names)
+
+    for a, b in zip(jax.tree.leaves(st_chunk.params), jax.tree.leaves(st.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for k in m_chunk:
+        np.testing.assert_array_equal(np.asarray(m_chunk[k]),
+                                      np.asarray(m[k]), err_msg=k)
