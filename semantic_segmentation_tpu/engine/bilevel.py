@@ -327,15 +327,17 @@ class BilevelEngine:
         return self.engine_step(state, batch_stack, val_batch,
                                 jax.random.fold_in(rng, step))
 
-    @partial(jax.jit, static_argnames=("self", "problem_names"))
+    @partial(jax.jit, static_argnames=("self", "problem_names", "unroll"))
     def engine_run_chunk(self, state: EngineState, train_data, val_data,
                          idx_chunk, val_idx_chunk, step0, rng,
-                         problem_names: tuple):
+                         problem_names: tuple, unroll: int = 1):
         """S engine iterations in ONE dispatch (lax.scan over
         engine_step_sampled bodies). ``idx_chunk``: name -> (S, K, B) index
         arrays; ``val_idx_chunk``: (S, B). Host overhead per training step
         drops to ~zero — between validations the chip never waits on the
-        host. Returns the final state and the last iteration's metrics."""
+        host. ``unroll`` replicates the scan body (identical numerics; lets
+        XLA schedule across iterations when steps are op-overhead-bound).
+        Returns the final state and the last iteration's metrics."""
 
         def body(st, xs):
             s, idxs, vidx = xs
@@ -350,7 +352,8 @@ class BilevelEngine:
 
         S = val_idx_chunk.shape[0]
         state, metrics = jax.lax.scan(
-            body, state, (jnp.arange(S), idx_chunk, val_idx_chunk))
+            body, state, (jnp.arange(S), idx_chunk, val_idx_chunk),
+            unroll=unroll)
         return state, jax.tree.map(lambda x: x[-1], metrics)
 
     @partial(jax.jit, static_argnames=("self",))
