@@ -178,19 +178,29 @@ PRESETS: dict[str, dict[str, Any]] = {
                     "engine.detach_fakes": False,
                     "engine.fake_postprocess": "minmax",
                     "run.name": "end2end-JSRT-9-nas"},
-    # GenSeg-3D/train_end2end.sh: hippocampus 98 volumes, 78/20
+    # GenSeg-3D/train_end2end.sh: hippocampus 98 volumes, 78/20.
+    # Same structural zero as 2D (outer loss touches only the unet, fakes
+    # detached, u2l edge = netG) -> decay_only elides the dead darts term
+    # and the rollback-discarded unroll, ~2x (tests/test_end2end.py::
+    # test_structural_zero_darts_in_all_bilevel_programs).
     "end2end_3d": {"data.n_train": 68, "data.n_val": 10, "data.n_test": 20,
-                   "optim.lr": 2e-4, "run.name": "end2end-3d"},
+                   "optim.lr": 2e-4, "engine.hypergrad": "decay_only",
+                   "run.name": "end2end-3d"},
     # BBDM Template-BBDM.yaml regime (pixel space)
     "bbdm": {"data.batch_size": 8, "engine.train_iters": 400000,
              "engine.valid_step": 50, "run.name": "bbdm"},
     "end2end_bbdm": {"optim.loss_lambda": 0.0,  # BBDM/train_end2end.py:278
+                     # same structural zero (sampled fakes detached,
+                     # outer loss = unet val loss)
+                     "engine.hypergrad": "decay_only",
                      "run.name": "end2end-bbdm"},
     # Soft-intro_VAE regime (ISIC-style splits)
     "sivae": {"data.dataset": "isic", "data.n_train": 32, "data.n_val": 8,
               "data.n_test": 594, "run.name": "sivae"},
     "end2end_sivae": {"data.dataset": "isic", "data.n_train": 32,
                       "data.n_val": 8, "data.n_test": 594,
+                      # same structural zero as the other bilevel programs
+                      "engine.hypergrad": "decay_only",
                       "run.name": "end2end-sivae"},
 }
 

@@ -30,6 +30,18 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """The XLA CPU compiler segfaults sporadically on big fresh compiles
+    once a process has accumulated many compiled executables (observed at
+    3 different tests across full-suite runs; each passes standalone).
+    Dropping the in-memory executable caches between test modules releases
+    that state; the persistent compile cache keeps cross-module recompiles
+    cheap."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng_np():
     return np.random.default_rng(0)

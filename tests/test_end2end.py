@@ -147,3 +147,81 @@ def test_engine_run_chunk_equals_per_step_dispatch():
     for k in m_chunk:
         np.testing.assert_array_equal(np.asarray(m_chunk[k]),
                                       np.asarray(m[k]), err_msg=k)
+
+
+def test_structural_zero_darts_in_all_bilevel_programs(tmp_path):
+    """The 3D / BBDM / SIVAE bilevel programs share the 2D wiring's
+    structural zero (outer loss reads only the unet params and never the
+    arch; fakes stop_gradient'ed; u2l edge = netG), so their shipped
+    presets may elide the darts computation (hypergrad=decay_only). This
+    asserts the premise: arch_grad_norm logged by a darts-mode run is
+    EXACTLY zero for every program."""
+    import json
+    import os
+    import jax.numpy as jnp
+
+    def arch_norms(run_dir):
+        norms = []
+        with open(os.path.join(run_dir, "metrics.jsonl")) as f:
+            for line in f:
+                d = json.loads(line)
+                if "arch_grad_norm" in d:
+                    norms.append(float(d["arch_grad_norm"]))
+        assert norms, f"no arch_grad_norm logged in {run_dir}"
+        return norms
+
+    from semantic_segmentation_tpu.core.config import parse_config
+
+    # 3D
+    from semantic_segmentation_tpu.train.train_end2end_3d import train as t3d
+    cfg = parse_config([])
+    cfg.data.synthetic = True
+    cfg.data.n_train = cfg.data.n_val = cfg.data.n_test = 2
+    cfg.data.batch_size = 2
+    cfg.model.compute_dtype = "float32"
+    cfg.model.ngf = cfg.model.ndf = cfg.model.base_features = 4
+    cfg.engine.valid_step = 2
+    cfg.engine.hypergrad = "darts"
+    cfg.run.save_dir = str(tmp_path)
+    cfg.run.name = "z3d"
+    t3d(cfg, train_iters=2, crop=16, num_downs=3)
+    assert max(arch_norms(os.path.join(str(tmp_path), "z3d"))) == 0.0
+
+    # BBDM
+    from semantic_segmentation_tpu.models.diffusion.bbdm import BridgeSchedule
+    from semantic_segmentation_tpu.train.train_bbdm import BBDMModel
+    from semantic_segmentation_tpu.train.train_end2end_bbdm import train as tb
+    cfg = parse_config([])
+    cfg.data.synthetic = True
+    cfg.data.image_size = 16
+    cfg.data.n_train = cfg.data.n_val = cfg.data.n_test = 2
+    cfg.data.batch_size = 2
+    cfg.model.compute_dtype = "float32"
+    cfg.model.base_features = 4
+    cfg.engine.valid_step = 2
+    cfg.engine.hypergrad = "darts"
+    cfg.run.save_dir = str(tmp_path)
+    cfg.run.name = "zbbdm"
+    bbdm = BBDMModel(channels=1, model_channels=8, channel_mult=(1, 2),
+                     num_res_blocks=1,
+                     schedule=BridgeSchedule(num_timesteps=20, sample_step=5),
+                     compute_dtype=jnp.float32)
+    tb(cfg, train_iters=2, bbdm=bbdm)
+    assert max(arch_norms(os.path.join(str(tmp_path), "zbbdm"))) == 0.0
+
+    # SIVAE
+    from semantic_segmentation_tpu.train.train_end2end_vae import train as tv
+    cfg = parse_config([])
+    cfg.data.synthetic = True
+    cfg.data.image_size = 32
+    cfg.data.n_train = cfg.data.n_val = cfg.data.n_test = 2
+    cfg.data.batch_size = 2
+    cfg.model.compute_dtype = "float32"
+    cfg.model.ngf = 4
+    cfg.model.base_features = 4
+    cfg.engine.valid_step = 2
+    cfg.engine.hypergrad = "darts"
+    cfg.run.save_dir = str(tmp_path)
+    cfg.run.name = "zvae"
+    tv(cfg, train_iters=2)
+    assert max(arch_norms(os.path.join(str(tmp_path), "zvae"))) == 0.0
