@@ -184,6 +184,8 @@ PRESETS: dict[str, dict[str, Any]] = {
     # and the rollback-discarded unroll, ~2x (tests/test_end2end.py::
     # test_structural_zero_darts_in_all_bilevel_programs).
     "end2end_3d": {"data.n_train": 68, "data.n_val": 10, "data.n_test": 20,
+                   "data.batch_size": 1,  # 3D reference default
+                                          # (GenSeg-3D/options/base_options.py:47)
                    "optim.lr": 2e-4, "engine.hypergrad": "decay_only",
                    "run.name": "end2end-3d"},
     # BBDM Template-BBDM.yaml regime (pixel space)

@@ -231,7 +231,7 @@ class BilevelEngine:
         return jax.grad(outer)(state0.arch)
 
     # ------------------------------------------------------------------
-    @partial(jax.jit, static_argnames=("self",))
+    @partial(jax.jit, static_argnames=("self",), donate_argnames=("state",))
     def engine_step(self, state: EngineState, batch_stack: dict, val_batch,
                     rng):
         """One full engine iteration (unroll + arch step + rollback/replay).
@@ -309,7 +309,8 @@ class BilevelEngine:
         return state.replace(step=state.step + 1), metrics
 
     # ------------------------------------------------------------------
-    @partial(jax.jit, static_argnames=("self", "problem_names"))
+    @partial(jax.jit, static_argnames=("self", "problem_names"),
+             donate_argnames=("state",))
     def engine_step_sampled(self, state: EngineState, train_data, val_data,
                             idx_stack, val_idx, step, rng,
                             problem_names: tuple):
@@ -327,7 +328,8 @@ class BilevelEngine:
         return self.engine_step(state, batch_stack, val_batch,
                                 jax.random.fold_in(rng, step))
 
-    @partial(jax.jit, static_argnames=("self", "problem_names", "unroll"))
+    @partial(jax.jit, static_argnames=("self", "problem_names", "unroll"),
+             donate_argnames=("state",))
     def engine_run_chunk(self, state: EngineState, train_data, val_data,
                          idx_chunk, val_idx_chunk, step0, rng,
                          problem_names: tuple, unroll: int = 1):
@@ -356,7 +358,7 @@ class BilevelEngine:
             unroll=unroll)
         return state, jax.tree.map(lambda x: x[-1], metrics)
 
-    @partial(jax.jit, static_argnames=("self",))
+    @partial(jax.jit, static_argnames=("self",), donate_argnames=("state",))
     def engine_run_chunk_batched(self, state: EngineState, batch_chunk,
                                  val_chunk, step0, rng):
         """S engine iterations over PRE-GATHERED batch stacks. ``batch_chunk``:

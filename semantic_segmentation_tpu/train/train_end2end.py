@@ -295,8 +295,14 @@ def train(cfg: Config, train_iters: int | None = None):
     best_val, it = 0.0, 0
     # best seg net kept as a DEVICE-side snapshot; serialized once at the
     # end (the reference torch.saves on every improvement — pathological
-    # through a low-bandwidth device tunnel)
-    best_unet = (state.params["unet"], state.stats["unet"])
+    # through a low-bandwidth device tunnel). COPIED, not referenced: the
+    # engine donates its input state buffers, so a bare reference would be
+    # deleted by the next chunk dispatch.
+    def snapshot_unet():
+        return jax.tree.map(jnp.copy,
+                            (state.params["unet"], state.stats["unet"]))
+
+    best_unet = snapshot_unet()
 
     def host_state():
         # full trajectory alongside the engine state: best metric, best seg
@@ -370,7 +376,7 @@ def train(cfg: Config, train_iters: int | None = None):
         val = float(val)
         if val > best_val:
             best_val = val
-            best_unet = (state.params["unet"], state.stats["unet"])
+            best_unet = snapshot_unet()
         log.log({**{k: float(v) for k, v in m_host.items()},
                  "val_score": val, "best_val": best_val}, it)
         if cfg.run.save_every and it % cfg.run.save_every == 0:

@@ -131,9 +131,11 @@ def test_engine_run_chunk_equals_per_step_dispatch():
     vidx_chunk = rng_np.integers(0, 2, size=(S, B))
     root = jax.random.key(5)
 
+    # the engine donates its input state — copy for the chunk call so the
+    # per-step loop can start from the same state0
     st_chunk, m_chunk = engine.engine_run_chunk(
-        state0, train_dev, val_dev, idx_chunk, vidx_chunk, jnp.int32(0),
-        root, names)
+        jax.tree.map(jnp.copy, state0), train_dev, val_dev, idx_chunk,
+        vidx_chunk, jnp.int32(0), root, names)
 
     st = state0
     for s in range(S):

@@ -200,7 +200,11 @@ def test_tp_engine_step_matches_single_device(tmp_path):
                    for n in ("netG", "netD", "unet")}
     rng = jax.random.key(1)
 
-    s1, m1 = engine.engine_step(state, batch_stack, batch, rng)
+    # engine_step donates its input state — copy for the first call so the
+    # second can reuse the original
+    import jax.numpy as jnp
+    s1, m1 = engine.engine_step(jax.tree.map(jnp.copy, state), batch_stack,
+                                batch, rng)
     mesh = make_dp_tp_mesh(2, 2)
     s2, m2 = tp_engine_step(engine, mesh, state, batch_stack, batch, rng)
 
