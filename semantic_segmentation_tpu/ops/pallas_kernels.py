@@ -157,6 +157,106 @@ def equalize_uint8_pallas(chans_u8, interpret: bool = False):
     return out.astype(jnp.uint8)
 
 
+def _warp_kernel(coef_ref, img_ref, out_ref, *, h: int, w: int):
+    """Gather-free bilinear affine warp of one (h, w) image.
+
+    The jnp path (ops/augment.warp_affine_batch) is a per-pixel 4-tap
+    gather — XLA lowers it to serialized scalar loads (~6 ms for 2x256² on
+    v5e, ~10% of a whole engine iteration). Here the gather becomes MXU
+    work: for each output row the two horizontal taps are one matmul
+    ``img @ Wx`` with a 2-nonzeros-per-column interpolation matrix built
+    on the VPU from ``floor(sx)`` one-hots, and the vertical blend is an
+    exact-f32 VPU one-hot multiply-reduce. Out-of-bounds taps fall out of
+    the one-hot (no match -> 0), reproducing cval=0 'constant' padding.
+
+    Precision: the MXU rounds operands through bf16, so the fractional
+    weights are split hi+lo (error ~2^-17); the image is cast to bf16 once
+    (exact for the production case — binary masks — since 0/1 are
+    bf16-representable; ~2^-9 relative for general images, fine for an
+    augmentation warp whose output feeds a 0.1 binarization,
+    train_end2end_jsrt.py:191-194).
+    """
+    a = coef_ref[0, 0, 0]
+    b = coef_ref[0, 0, 1]
+    tx = coef_ref[0, 0, 2]
+    c = coef_ref[0, 0, 3]
+    d = coef_ref[0, 0, 4]
+    ty = coef_ref[0, 0, 5]
+    img = img_ref[0].astype(jnp.float32)          # (h, w)
+    img_bf = img.astype(jnp.bfloat16)
+    colsf = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1).astype(jnp.float32)
+    c_ids = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)   # source col
+    r_ids = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)   # source row
+
+    def row_body(i, acc):
+        fi = i.astype(jnp.float32)
+        sx = a * colsf + (b * fi + tx)            # (1, w)
+        sy = c * colsf + (d * fi + ty)
+        x0 = jnp.floor(sx)
+        y0 = jnp.floor(sy)
+        fx = sx - x0
+        fy = sy - y0
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+
+        # horizontal taps as one matmul: Wx[c, j] carries (1-fx_j) at x0_j
+        # and fx_j at x0_j+1 (2 nonzeros per column); hi+lo bf16 split
+        # side-by-side so both MXU passes ride one (w, 2w) dot
+        wx = ((c_ids == x0i).astype(jnp.float32) * (1.0 - fx)
+              + (c_ids == x0i + 1).astype(jnp.float32) * fx)   # (w, w)
+        wx_hi = wx.astype(jnp.bfloat16)
+        wx_lo = (wx - wx_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        both = jnp.dot(img_bf, jnp.concatenate([wx_hi, wx_lo], axis=1),
+                       preferred_element_type=jnp.float32)     # (h, 2w)
+        colinterp = both[:, :w] + both[:, w:]
+
+        # vertical blend in exact f32 on the VPU (one-hot multiply-reduce)
+        wy = ((r_ids == y0i).astype(jnp.float32) * (1.0 - fy)
+              + (r_ids == y0i + 1).astype(jnp.float32) * fy)   # (h, w)
+        vert = jnp.sum(wy * colinterp, axis=0, keepdims=True)  # (1, w)
+        # scatter the row into the carry via one-hot add — Mosaic lowers
+        # dynamic-offset sublane STORES as masked full-block writes (8.2 ms
+        # for 2x256² measured on v5e), so the loop carries the output and
+        # stores once
+        one = (r_ids == i).astype(jnp.float32)
+        return acc + one * vert
+
+    out_ref[0] = jax.lax.fori_loop(
+        0, h, row_body, jnp.zeros((h, w), jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def warp_affine_pallas(imgs_nhwc, mats, interpret: bool = False):
+    """Bilinear warp of an NHWC batch by per-image FORWARD affines (same
+    contract as ops/augment.warp_affine_batch with cval=0). Channels fold
+    into the grid; the (3, 3) inverses are reduced to six coefficients and
+    prefetched to SMEM."""
+    n, h, w, ch = imgs_nhwc.shape
+    inv = jnp.linalg.inv(mats.astype(jnp.float32))             # (n, 3, 3)
+    coef = jnp.concatenate(
+        [inv[:, 0, :], inv[:, 1, :], jnp.zeros((n, 2), jnp.float32)],
+        axis=-1)                                               # (n, 8)
+    x = jnp.transpose(imgs_nhwc.astype(jnp.float32),
+                      (0, 3, 1, 2)).reshape(n * ch, h, w)
+    coef = jnp.repeat(coef, ch, axis=0).reshape(n * ch, 1, 8)
+    kernel = functools.partial(_warp_kernel, h=h, w=w)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n * ch,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 8), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n * ch, h, w), jnp.float32),
+        interpret=interpret,
+    )(coef, x)
+    return jnp.transpose(out.reshape(n, ch, h, w), (0, 2, 3, 1))
+
+
 def histogram256_jnp(imgs_u8):
     """Scatter-free jnp fallback: fused broadcast-compare + reduce."""
     flat = imgs_u8.reshape(imgs_u8.shape[0], -1).astype(jnp.int32)
