@@ -1,0 +1,110 @@
+"""Device-level op attribution for the flagship engine iteration.
+
+Runs a few engine_run_chunk dispatches under jax.profiler.trace and
+aggregates per-op device time from the captured XSpace proto — the ground
+truth for where the 56 ms batch-2 iteration goes (ablation timers can't see
+inside the fused program; scan-stage microbenches suffer loop-invariant
+hoisting).
+
+Run on TPU: python scripts/trace_engine.py [trace_dir]
+"""
+
+from __future__ import annotations
+
+import collections
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from semantic_segmentation_tpu.core.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from semantic_segmentation_tpu.core.config import parse_config  # noqa: E402
+from semantic_segmentation_tpu.data import (  # noqa: E402
+    SyntheticSegDataset, stack_dataset)
+from semantic_segmentation_tpu.data.pipeline import device_put_split  # noqa: E402
+from semantic_segmentation_tpu.train.train_end2end import (  # noqa: E402
+    build_engine_and_state)
+
+S = 25
+
+
+def run(trace_dir: str):
+    cfg = parse_config([], preset="end2end_jsrt")
+    cfg.data.synthetic = True
+    cfg.data.image_size = 256
+    cfg.data.batch_size = 2
+    engine, state, _, _ = build_engine_and_state(cfg, jax.random.key(0))
+    data = stack_dataset(SyntheticSegDataset(n=7, size=256))
+    train_dev = device_put_split({k: np.asarray(v) for k, v in data.items()})
+    val_dev = device_put_split({k: np.asarray(v)[:2] for k, v in data.items()})
+    names = ("netG", "netD", "unet")
+    rng = np.random.default_rng(0)
+    root = jax.random.key(1)
+
+    def chunk(state, i):
+        idx = {n: rng.integers(0, 7, size=(S, 1, 2)) for n in names}
+        vidx = rng.integers(0, 2, size=(S, 2))
+        return engine.engine_run_chunk(state, train_dev, val_dev, idx, vidx,
+                                       jnp.int32(i * S), root, names)
+
+    state, m = chunk(state, 0)   # compile + warm
+    jax.device_get(m)
+    with jax.profiler.trace(trace_dir):
+        for i in range(1, 3):
+            state, m = chunk(state, i)
+        jax.device_get(m)
+
+
+def aggregate(trace_dir: str, top: int = 40):
+    from tensorboard_plugin_profile.protobuf import xplane_pb2
+    paths = sorted(glob.glob(os.path.join(
+        trace_dir, "**", "*.xplane.pb"), recursive=True))
+    if not paths:
+        print("no xplane.pb found under", trace_dir)
+        return
+    xs = xplane_pb2.XSpace()
+    with open(paths[-1], "rb") as f:
+        xs.ParseFromString(f.read())
+    per_op = collections.Counter()
+    per_cat = collections.Counter()
+    total_ps = 0
+    dev_planes = [p for p in xs.planes if "TPU" in p.name or "/device" in p.name]
+    print("planes:", [p.name for p in xs.planes], file=sys.stderr)
+    for plane in dev_planes:
+        ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
+        for line in plane.lines:
+            for ev in line.events:
+                name = ev_meta.get(ev.metadata_id, str(ev.metadata_id))
+                dur = ev.duration_ps
+                per_op[name] += dur
+                total_ps += dur
+                # crude category from the HLO-ish name
+                base = re.split(r"[.\d]", name)[0] or name
+                per_cat[base] += dur
+    if total_ps == 0:
+        print("device planes had no events (tunnel backend may not "
+              "capture device traces)")
+        return
+    out = {"total_ms": total_ps / 1e9,
+           "by_category": [(k, round(v / 1e9, 3))
+                           for k, v in per_cat.most_common(25)],
+           "top_ops": [(k, round(v / 1e9, 3))
+                       for k, v in per_op.most_common(top)]}
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    td = sys.argv[1] if len(sys.argv) > 1 else "/tmp/engine_trace"
+    if not os.environ.get("PARSE_ONLY"):
+        run(td)
+    aggregate(td)
