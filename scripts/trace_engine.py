@@ -66,37 +66,61 @@ def run(trace_dir: str):
 
 
 def aggregate(trace_dir: str, top: int = 40):
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
+    """Aggregate the Chrome-format trace.json.gz (always written by
+    jax.profiler alongside the xplane.pb; no tensorboard plugin needed).
+
+    Only the 'XLA Ops' device lane is summed — 'XLA Modules'/'Steps' are
+    container events that span the whole program, and the leaf ops nest
+    inside the `while` scan body, so the while event itself is excluded
+    from category totals.
+    """
+    import gzip
     paths = sorted(glob.glob(os.path.join(
-        trace_dir, "**", "*.xplane.pb"), recursive=True))
+        trace_dir, "**", "*.trace.json.gz"), recursive=True))
     if not paths:
-        print("no xplane.pb found under", trace_dir)
+        print("no trace.json.gz found under", trace_dir)
         return
-    xs = xplane_pb2.XSpace()
-    with open(paths[-1], "rb") as f:
-        xs.ParseFromString(f.read())
+    with gzip.open(paths[-1], "rt") as f:
+        events = json.load(f).get("traceEvents", [])
+    tid_names = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tid_names[(e["pid"], e["tid"])] = e["args"].get("name", "")
     per_op = collections.Counter()
-    per_cat = collections.Counter()
+    per_cat = collections.Counter()     # XLA's own hlo_category annotation
+    cat_bytes = collections.Counter()   # bytes_accessed -> achieved GB/s
     total_ps = 0
-    dev_planes = [p for p in xs.planes if "TPU" in p.name or "/device" in p.name]
-    print("planes:", [p.name for p in xs.planes], file=sys.stderr)
-    for plane in dev_planes:
-        ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
-        for line in plane.lines:
-            for ev in line.events:
-                name = ev_meta.get(ev.metadata_id, str(ev.metadata_id))
-                dur = ev.duration_ps
-                per_op[name] += dur
-                total_ps += dur
-                # crude category from the HLO-ish name
-                base = re.split(r"[.\d]", name)[0] or name
-                per_cat[base] += dur
+    module_ps = 0
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        lane = tid_names.get((e.get("pid"), e.get("tid")), "")
+        dur = int(e.get("dur", 0) * 1e6)  # us -> ps
+        if lane == "XLA Modules":
+            module_ps += dur
+            continue
+        if lane != "XLA Ops":
+            continue
+        name = e.get("name", "")
+        if re.sub(r"[.\d]+$", "", name) == "while":
+            continue  # container for the scan body's leaf ops
+        args = e.get("args", {})
+        cat = args.get("hlo_category", "?")
+        per_op[name] += dur
+        total_ps += dur
+        per_cat[cat] += dur
+        cat_bytes[cat] += int(args.get("bytes_accessed", 0) or 0)
     if total_ps == 0:
-        print("device planes had no events (tunnel backend may not "
+        print("device lanes had no events (tunnel backend may not "
               "capture device traces)")
         return
-    out = {"total_ms": total_ps / 1e9,
-           "by_category": [(k, round(v / 1e9, 3))
+    out = {"leaf_op_ms": round(total_ps / 1e9, 3),
+           "module_ms": round(module_ps / 1e9, 3),
+           # (category, total ms, achieved GB/s) — GB/s near HBM peak means
+           # that category is already bandwidth speed-of-light
+           "by_category": [(k, round(v / 1e9, 3),
+                            round(cat_bytes[k] / (v / 1e12) / 1e9, 1)
+                            if v else 0.0)
                            for k, v in per_cat.most_common(25)],
            "top_ops": [(k, round(v / 1e9, 3))
                        for k, v in per_op.most_common(top)]}

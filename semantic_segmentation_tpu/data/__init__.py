@@ -4,6 +4,10 @@ from semantic_segmentation_tpu.data.folder import (  # noqa: F401
     make_dataset,
 )
 from semantic_segmentation_tpu.data.extra import (  # noqa: F401
+    ColorizationDataset,
+    InpaintingDataset,
+    LABColorizationDataset,
+    SingleImageDataset,
     BSubtilisDataset,
     DeePiCtDataset,
     DiabeticDataset,

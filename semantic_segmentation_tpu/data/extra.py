@@ -280,3 +280,44 @@ class InpaintingDataset(_ImageDir):
         cond = img.copy()
         cond[px:px + mh, py:py + mw, :] = 0.0
         return {"image_pix2pix": img, "mask_pix2pix": cond}
+
+
+def rgb_to_lab_u8(rgb: np.ndarray) -> np.ndarray:
+    """8-bit RGB -> 8-bit LAB with OpenCV's COLOR_RGB2LAB conventions
+    (L scaled to 0..255 by 255/100, a/b offset by +128) — the decode the
+    reference's LAB colorization applies via cv2 (BBDM/datasets/custom.py:
+    83-85). Formula-level parity (float math; cv2's fixed-point LUT rounds
+    within +-1 LSB)."""
+    x = rgb.astype(np.float64) / 255.0
+    m = np.array([[0.412453, 0.357580, 0.180423],
+                  [0.212671, 0.715160, 0.072169],
+                  [0.019334, 0.119193, 0.950227]])
+    xyz = x @ m.T
+    xyz[..., 0] /= 0.950456
+    xyz[..., 2] /= 1.088754
+
+    def f(t):
+        return np.where(t > 0.008856, np.cbrt(t), 7.787 * t + 16.0 / 116.0)
+
+    y = xyz[..., 1]
+    lum = np.where(y > 0.008856, 116.0 * np.cbrt(y) - 16.0, 903.3 * y)
+    fx, fy, fz = f(xyz[..., 0]), f(y), f(xyz[..., 2])
+    a = 500.0 * (fx - fy) + 128.0
+    b = 200.0 * (fy - fz) + 128.0
+    lab = np.stack([lum * 255.0 / 100.0, a, b], axis=-1)
+    return np.clip(np.round(lab), 0, 255).astype(np.uint8)
+
+
+class LABColorizationDataset(_ImageDir):
+    """custom_colorization_LAB (BBDM/datasets/custom.py:58-102): the image
+    is decoded to 8-bit LAB; x0 = the LAB image, condition = the L channel
+    replicated to 3 channels. [0,1] here composes with the trainer's
+    (x*2-1) to the reference's (lab - 127.5)/127.5."""
+
+    def __getitem__(self, index):
+        img = self.load(index)
+        lab = rgb_to_lab_u8(
+            np.clip(np.round(img * 255.0), 0, 255).astype(np.uint8)
+        ).astype(np.float32) / 255.0
+        cond = np.repeat(lab[..., :1], 3, axis=-1)
+        return {"image_pix2pix": lab, "mask_pix2pix": cond}

@@ -168,6 +168,31 @@ def make_dataset(name: str, root: str, mask_suffix: str = "",
     name — ``deepict`` points at a pickle file, ``deepict_test`` selects its
     test split, ``nib`` reads per-file NIfTI 2D images."""
     key = name.lower()
+    if key.startswith("bbdm_") and key != "bbdm_aligned":
+        # BBDM condition-synthesis families (BBDM/datasets/custom.py):
+        # bbdm_single / bbdm_colorization_rgb / bbdm_colorization_lab /
+        # bbdm_inpainting read ONE image folder (root itself, or root/Images
+        # when present, matching the aligned layout)
+        from semantic_segmentation_tpu.data import extra
+        classes = {"single": extra.SingleImageDataset,
+                   "colorization_rgb": extra.ColorizationDataset,
+                   "colorization_lab": extra.LABColorizationDataset,
+                   "inpainting": extra.InpaintingDataset}
+        task = key[len("bbdm_"):]
+        if task not in classes:
+            raise ValueError(f"unknown BBDM dataset variant: {name}")
+        img_dir = os.path.join(root, images_sub)
+        if not os.path.isdir(img_dir):
+            img_dir = root
+        return classes[task](img_dir, image_size=image_size or 256,
+                             flip=False)
+    if key == "bbdm_aligned":  # custom_aligned == the generic paired layout
+        return PairedImageFolder(os.path.join(root, images_sub),
+                                 os.path.join(root, masks_sub),
+                                 mask_suffix=mask_suffix,
+                                 spec=DatasetSpec(rgb=True,
+                                                  equalize_gamma=False,
+                                                  image_size=image_size or 256))
     if key in ("b_subtilis", "bsubtilis", "omnipose", "diabetic",
                "deepict", "deepict_test", "nib"):
         from semantic_segmentation_tpu.data import extra

@@ -136,13 +136,22 @@ class BilevelEngine:
         """K inner steps via scan. ``batch_stack``: name -> arrays with a
         leading K axis."""
         K = self.unroll_steps
+        rngs = jax.random.split(rng, K)
+        if K == 1:
+            # A length-1 scan is semantically a direct call, but on TPU the
+            # nested while loop forces the full EngineState carry (~GBs of
+            # params + optimizer moments) through loop-buffer copies at entry
+            # and exit — measured ~15% of device time per engine iteration.
+            # Same batch slice and the same split(rng, 1)[0] key => the
+            # trajectory is bit-identical to the scan form.
+            batch0 = jax.tree.map(lambda x: x[0], batch_stack)
+            return self.inner_step(state, arch, batch0, rngs[0])
 
         def body(st, xs):
             b, r = xs
             st, m = self.inner_step(st, arch, b, r)
             return st, m
 
-        rngs = jax.random.split(rng, K)
         state, metrics = jax.lax.scan(body, state, (batch_stack, rngs))
         return state, jax.tree.map(lambda x: x[-1], metrics)
 
@@ -215,6 +224,11 @@ class BilevelEngine:
             return (params, stats), None
 
         rngs = jax.random.split(rng, K)
+        if K == 1:  # same loop-carry-copy elision as _unroll; bit-identical
+            batch0 = jax.tree.map(lambda x: x[0], batch_stack)
+            (params, stats), _ = body((state0.params, state0.stats),
+                                      (batch0, rngs[0]))
+            return state0.replace(params=params, stats=stats)
         (params, stats), _ = jax.lax.scan(body, (state0.params, state0.stats),
                                           (batch_stack, rngs))
         return state0.replace(params=params, stats=stats)

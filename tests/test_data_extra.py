@@ -202,3 +202,33 @@ def test_bbdm_dataset_variants(tmp_path):
     np.testing.assert_array_equal(
         SingleImageDataset(str(tmp_path), 32, False)[0]["image_pix2pix"],
         SingleImageDataset(str(tmp_path), 32, False)[0]["mask_pix2pix"])
+
+
+def test_bbdm_lab_variant_and_make_dataset_dispatch(tmp_path):
+    """custom_colorization_LAB (custom.py:58-102): cv2 LAB decode oracle on
+    known colors, cond = L replicated; make_dataset 'bbdm_*' names route to
+    the variant classes."""
+    from semantic_segmentation_tpu.data.extra import rgb_to_lab_u8
+    # cv2 COLOR_RGB2LAB(8U) ground truth: white/black/red
+    np.testing.assert_array_equal(
+        rgb_to_lab_u8(np.array([[[255, 255, 255], [0, 0, 0]]], np.uint8)),
+        np.array([[[255, 128, 128], [0, 128, 128]]], np.uint8))
+    red = rgb_to_lab_u8(np.array([[[255, 0, 0]]], np.uint8))[0, 0]
+    assert np.all(np.abs(red.astype(int) - [136, 208, 195]) <= 1)
+
+    (tmp_path / "Images").mkdir()
+    rng = np.random.default_rng(5)
+    for i in range(2):
+        Image.fromarray(rng.integers(0, 255, (40, 40, 3), np.uint8)).save(
+            tmp_path / "Images" / f"i{i}.png")
+    from semantic_segmentation_tpu.data import make_dataset
+    ds = make_dataset("bbdm_colorization_lab", str(tmp_path), image_size=32)
+    it = ds[0]
+    c = it["mask_pix2pix"]
+    assert np.allclose(c[..., 0], c[..., 1]) and np.allclose(c[..., 0],
+                                                             c[..., 2])
+    np.testing.assert_allclose(c[..., 0], it["image_pix2pix"][..., 0])
+    for nm, cls in (("bbdm_single", "SingleImageDataset"),
+                    ("bbdm_colorization_rgb", "ColorizationDataset"),
+                    ("bbdm_inpainting", "InpaintingDataset")):
+        assert type(make_dataset(nm, str(tmp_path), image_size=32)).__name__ == cls
