@@ -136,22 +136,20 @@ class BilevelEngine:
         """K inner steps via scan. ``batch_stack``: name -> arrays with a
         leading K axis."""
         K = self.unroll_steps
-        rngs = jax.random.split(rng, K)
-        if K == 1:
-            # A length-1 scan is semantically a direct call, but on TPU the
-            # nested while loop forces the full EngineState carry (~GBs of
-            # params + optimizer moments) through loop-buffer copies at entry
-            # and exit — measured ~15% of device time per engine iteration.
-            # Same batch slice and the same split(rng, 1)[0] key => the
-            # trajectory is bit-identical to the scan form.
-            batch0 = jax.tree.map(lambda x: x[0], batch_stack)
-            return self.inner_step(state, arch, batch0, rngs[0])
 
         def body(st, xs):
             b, r = xs
             st, m = self.inner_step(st, arch, b, r)
             return st, m
 
+        # NOTE on K=1: eliding the length-1 scan (calling inner_step
+        # directly) was tried and measured — the XLA TPU pipeline already
+        # flattens a trip-count-1 while loop, producing the IDENTICAL
+        # optimized HLO (same fusion ids and per-op device times in the
+        # profiler trace), while on CPU the different fusion context broke
+        # bit-equality between chunked and per-step dispatch. The scan form
+        # is kept: simpler, and the equality guarantee stays exact.
+        rngs = jax.random.split(rng, K)
         state, metrics = jax.lax.scan(body, state, (batch_stack, rngs))
         return state, jax.tree.map(lambda x: x[-1], metrics)
 
@@ -224,11 +222,6 @@ class BilevelEngine:
             return (params, stats), None
 
         rngs = jax.random.split(rng, K)
-        if K == 1:  # same loop-carry-copy elision as _unroll; bit-identical
-            batch0 = jax.tree.map(lambda x: x[0], batch_stack)
-            (params, stats), _ = body((state0.params, state0.stats),
-                                      (batch0, rngs[0]))
-            return state0.replace(params=params, stats=stats)
         (params, stats), _ = jax.lax.scan(body, (state0.params, state0.stats),
                                           (batch_stack, rngs))
         return state0.replace(params=params, stats=stats)

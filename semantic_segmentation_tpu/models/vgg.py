@@ -13,6 +13,8 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+
+from semantic_segmentation_tpu.ops.flax_layers import max_pool_2x
 import jax.numpy as jnp
 
 # torchvision vgg16 'D' config up to relu5_3 (feature index 29)
@@ -35,7 +37,7 @@ class VGG16Features(nn.Module):
         conv_i = 0
         for c in _CFG:
             if c == "M":
-                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                x = max_pool_2x(x)  # scatter-free backward, bit-identical
                 continue
             x = nn.Conv(c, (3, 3), padding=1, dtype=self.dtype,
                         name=f"conv{conv_i}")(x)

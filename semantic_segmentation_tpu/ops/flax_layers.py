@@ -10,6 +10,7 @@ for the reference's AMP autocast/GradScaler (``train_end2end_jsrt.py:75``).
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Any, Callable, Sequence
 
 import flax.linen as nn
@@ -96,9 +97,70 @@ class TorchBatchNorm(nn.Module):
 
 
 def max_pool_2x(x, ndim_spatial: int = 2):
-    """torch nn.MaxPool2d(2) / MaxPool3d(2)."""
-    win = (2,) * ndim_spatial
-    return nn.max_pool(x, window_shape=win, strides=win)
+    """torch nn.MaxPool2d(2) / MaxPool3d(2) with a scatter-free backward.
+
+    XLA differentiates reduce_window-max through ``select-and-scatter``,
+    which runs at ~67 GB/s on TPU (measured: 3.8% of the flagship engine
+    iteration). For NON-OVERLAPPING 2x windows the same gradient — route
+    everything to the first window position attaining the max, in row-major
+    kernel order, which is both torch's argmax semantics and
+    select-and-scatter's first-true-select semantics — is a pure elementwise
+    expression over the window view: ``eq & (cumsum(eq) == 1)``. Equality
+    and max are exact ops, so the gradient is BIT-IDENTICAL to the
+    select-and-scatter result (tested against jax's own max_pool grad)."""
+    return _max_pool_2x(x, ndim_spatial)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _max_pool_2x(x, nd: int):
+    return _pool_fwd(x, nd)[0]
+
+
+def _window_view(x, nd: int):
+    """Trim odd edges (torch floor semantics) and expose each 2^nd window:
+    (B, s1/2, 2, ..., snd/2, 2, C)."""
+    sp = x.shape[1:-1]
+    ev = tuple(d - d % 2 for d in sp)
+    xs = x[(slice(None),) + tuple(slice(0, e) for e in ev) + (slice(None),)]
+    shape = (x.shape[0],)
+    for e in ev:
+        shape += (e // 2, 2)
+    xw = xs.reshape(shape + (x.shape[-1],))
+    return xw, ev
+
+
+def _pool_fwd(x, nd: int):
+    xw, _ = _window_view(x, nd)
+    axes = tuple(2 + 2 * i for i in range(nd))
+    y = xw.max(axis=axes)
+    return y, (x, y)
+
+
+def _pool_bwd(nd: int, res, g):
+    x, y = res
+    xw, ev = _window_view(x, nd)
+    # window axes to the back, flattened in row-major kernel order
+    win_axes = tuple(2 + 2 * i for i in range(nd))
+    keep_axes = tuple(a for a in range(xw.ndim) if a not in win_axes)
+    xt = xw.transpose(keep_axes + win_axes)
+    flat = xt.reshape(xt.shape[:-nd] + (2 ** nd,))
+    eq = flat == y[..., None]
+    first = eq & (jnp.cumsum(eq, axis=-1) == 1)
+    dflat = jnp.where(first, g[..., None], jnp.zeros((), g.dtype))
+    # invert the transpose/reshape back to the trimmed input layout
+    dxt = dflat.reshape(xt.shape)
+    inv = [0] * xw.ndim
+    for i, a in enumerate(keep_axes + win_axes):
+        inv[a] = i
+    dxw = dxt.transpose(inv)
+    dxs = dxw.reshape((x.shape[0],) + ev + (x.shape[-1],))
+    # zero-pad the trimmed odd edges back (their gradient is zero)
+    pads = [(0, 0)] + [(0, d - e) for d, e in zip(x.shape[1:-1], ev)] \
+        + [(0, 0)]
+    return (jnp.pad(dxs, pads),)
+
+
+_max_pool_2x.defvjp(_pool_fwd, _pool_bwd)
 
 
 def pad_to_match(x_small, target_spatial: Sequence[int]):

@@ -109,22 +109,14 @@ def test_photometric_per_image_varies_within_batch():
 
 def test_engine_run_chunk_equals_per_step_dispatch():
     """engine_run_chunk(S) must reproduce S engine_step_sampled calls
-    (same index streams, same rng folds) — the guarantee the chunked
-    trainers (2D/3D/BBDM/VAE) rely on.
+    bit-for-bit (same index streams, same rng folds) — the guarantee the
+    chunked trainers (2D/3D/BBDM/VAE) rely on.
 
-    Tolerance note: since the K=1 scan elision (bilevel.py _unroll) the
-    inner-step ops inline straight into the chunk's outer scan body, so XLA
-    fuses them differently than in the standalone per-step jit — f32
-    reassociation noise (~1e-11, the same class of divergence as an XLA
-    version bump). The NORMALIZED optimizers amplify it: an RMSprop/Adam
-    update is ~±lr for any nonzero gradient, so noise that flips the sign of
-    a near-zero gradient component moves that param by O(lr) per step — and
-    early RMSprop steps reach ~10·lr (second moment warming up from zero)
-    with momentum 0.9 compounding flips further. Params therefore assert the
-    FRACTION of lr-scale-divergent elements is tiny (tail events) rather
-    than a per-element bound. The tight discriminator is the
-    last-step LOSSES (O(1) reductions, rel noise ~1e-6): a wrong rng fold or
-    index slice shifts them at 1e-2+."""
+    Bit-equality holds because the inner step lives inside a lax.scan in
+    BOTH dispatch forms, so XLA compiles the same loop body either way.
+    (An elided K=1 form was tried and reverted: it changed the fusion
+    context, and the normalized optimizers amplify even 1e-11 reassociation
+    noise to O(lr) param divergence within 3 steps — see bilevel._unroll.)"""
     from semantic_segmentation_tpu.train.train_end2end import (
         build_engine_and_state)
     from semantic_segmentation_tpu.data import (SyntheticSegDataset,
@@ -158,17 +150,11 @@ def test_engine_run_chunk_equals_per_step_dispatch():
             {n: idx_chunk[n][s] for n in names}, vidx_chunk[s],
             jnp.int32(s), root, names)
 
-    n_total, n_off = 0, 0
     for a, b in zip(jax.tree.leaves(st_chunk.params), jax.tree.leaves(st.params)):
-        a, b = np.asarray(a), np.asarray(b)
-        np.testing.assert_allclose(a, b, rtol=1e-2, atol=1e-2)  # gross bound
-        n_total += a.size
-        n_off += int((~np.isclose(a, b, rtol=1e-3, atol=1e-4)).sum())
-    assert n_off / n_total < 1e-3, (n_off, n_total)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     for k in m_chunk:
-        np.testing.assert_allclose(np.asarray(m_chunk[k]),
-                                   np.asarray(m[k]), rtol=1e-4, atol=1e-6,
-                                   err_msg=k)
+        np.testing.assert_array_equal(np.asarray(m_chunk[k]),
+                                      np.asarray(m[k]), err_msg=k)
 
 
 def test_structural_zero_darts_in_all_bilevel_programs(tmp_path):

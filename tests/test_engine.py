@@ -104,54 +104,6 @@ def test_hypergrad_none_is_plain_multitask():
     assert "arch_grad_norm" not in metrics
 
 
-@pytest.mark.parametrize("mode", ["unroll", "darts"])
-def test_k1_scan_elision_matches_scan_form(mode):
-    """_unroll/_surrogate_unroll elide the length-1 lax.scan (TPU loop-carry
-    copies cost ~15% of device time); the elided path must produce the same
-    state and metrics as the scan form."""
-
-    class ScanOnly(BilevelEngine):
-        def _unroll(self, state, arch, batch_stack, rng):
-            def body(st, xs):
-                b, r = xs
-                return self.inner_step(st, arch, b, r)
-            rngs = jax.random.split(rng, self.unroll_steps)
-            state, metrics = jax.lax.scan(body, state, (batch_stack, rngs))
-            return state, jax.tree.map(lambda x: x[-1], metrics)
-
-        def _surrogate_unroll(self, state0, arch, batch_stack, rng):
-            def body(carry, xs):
-                params, stats = carry
-                b, r = xs
-                for i, p in enumerate(self.problems):
-                    st = state0.replace(params=params, stats=stats)
-                    (_, su), grads = jax.value_and_grad(
-                        p.loss, has_aux=True)(params[p.name], st, arch,
-                                              b[p.name],
-                                              jax.random.fold_in(r, i))
-                    params = {**params,
-                              p.name: jax.tree.map(lambda w, g: w - p.lr * g,
-                                                   params[p.name], grads)}
-                    stats = {**stats, **su}
-                return (params, stats), None
-            rngs = jax.random.split(rng, self.unroll_steps)
-            (params, stats), _ = jax.lax.scan(
-                body, (state0.params, state0.stats), (batch_stack, rngs))
-            return state0.replace(params=params, stats=stats)
-
-    eng, state = make_toy(mode, roll_back=True)
-    scan_eng = ScanOnly(eng.problems, eng.outer_loss, eng.arch_tx,
-                        unroll_steps=1, roll_back=True, hypergrad=mode,
-                        arch_children=("p",))
-    bs, vb = dummy_batches()
-    s1, m1 = eng.engine_step(state, bs, vb, jax.random.key(0))
-    _, state2 = make_toy(mode, roll_back=True)
-    s2, m2 = scan_eng.engine_step(state2, bs, vb, jax.random.key(0))
-    for a, b in zip(jax.tree.leaves((s1.params, s1.arch, m1)),
-                    jax.tree.leaves((s2.params, s2.arch, m2))):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-
-
 def test_decay_only_mode_identical_to_darts_under_reference_wiring(tmp_path):
     """Under the default (reference-parity) wiring the darts hypergradient is
     structurally zero, so hypergrad='decay_only' must produce the SAME

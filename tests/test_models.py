@@ -136,3 +136,32 @@ def test_resnet_generator_shape():
     variables = model.init(jax.random.key(0), x, train=False)
     y = model.apply(variables, x, train=False)
     assert y.shape == (1, 64, 64, 1)
+
+
+def test_max_pool_2x_scatter_free_backward_bit_identical():
+    """max_pool_2x's custom VJP (eq & cumsum==1 first-argmax mask) must be
+    BIT-identical to XLA's select-and-scatter gradient (= torch MaxPool
+    argmax routing), including tied maxima (ReLU zeros make ties common)
+    and odd trailing edges (floor semantics)."""
+    import flax.linen as nn
+    from semantic_segmentation_tpu.ops.flax_layers import max_pool_2x
+
+    rng = np.random.default_rng(0)
+    for nd, shape in ((2, (2, 8, 8, 3)), (2, (2, 9, 7, 3)),
+                      (3, (1, 6, 4, 4, 2))):
+        x = rng.standard_normal(shape).astype(np.float32)
+        # inject heavy ties: quantize and relu half the values
+        x = np.maximum(np.round(x * 2) / 2, 0.0).astype(np.float32)
+        win = (2,) * nd
+
+        def ref(v):
+            return jnp.sum(nn.max_pool(v, window_shape=win, strides=win) ** 2)
+
+        def ours(v):
+            return jnp.sum(max_pool_2x(v, nd) ** 2)
+
+        np.testing.assert_array_equal(
+            np.asarray(jax.jit(lambda v: nn.max_pool(v, win, win))(x)),
+            np.asarray(jax.jit(lambda v: max_pool_2x(v, nd))(x)))
+        np.testing.assert_array_equal(
+            np.asarray(jax.grad(ref)(x)), np.asarray(jax.grad(ours)(x)))
