@@ -116,45 +116,60 @@ def _max_pool_2x(x, nd: int):
     return _pool_fwd(x, nd)[0]
 
 
-def _window_view(x, nd: int):
-    """Trim odd edges (torch floor semantics) and expose each 2^nd window:
-    (B, s1/2, 2, ..., snd/2, 2, C)."""
+def _window_slices(x, nd: int):
+    """Trim odd edges (torch floor semantics) and return the 2^nd strided
+    window slices in row-major kernel order. Slices (unlike a multi-axis
+    window reshape) are transparent to GSPMD sharding propagation, so the
+    pool composes with batch-sharded data-parallel steps."""
+    from itertools import product
     sp = x.shape[1:-1]
     ev = tuple(d - d % 2 for d in sp)
     xs = x[(slice(None),) + tuple(slice(0, e) for e in ev) + (slice(None),)]
-    shape = (x.shape[0],)
-    for e in ev:
-        shape += (e // 2, 2)
-    xw = xs.reshape(shape + (x.shape[-1],))
-    return xw, ev
+    slices = []
+    for offs in product((0, 1), repeat=nd):
+        idx = (slice(None),) + tuple(slice(o, None, 2) for o in offs) \
+            + (slice(None),)
+        slices.append(xs[idx])
+    return slices
 
 
 def _pool_fwd(x, nd: int):
-    xw, _ = _window_view(x, nd)
-    axes = tuple(2 + 2 * i for i in range(nd))
-    y = xw.max(axis=axes)
+    slices = _window_slices(x, nd)
+    y = slices[0]
+    for s in slices[1:]:
+        y = jnp.maximum(y, s)
     return y, (x, y)
 
 
+def _interleave2(a, b, axis: int):
+    """(…, L, …) x2 -> (…, 2L, …) interleaved; stack + single-pair merge
+    keeps every reshape to one axis group (GSPMD-safe)."""
+    st = jnp.stack([a, b], axis=axis + 1)
+    return st.reshape(st.shape[:axis] + (st.shape[axis] * 2,)
+                      + st.shape[axis + 2:])
+
+
 def _pool_bwd(nd: int, res, g):
+    from itertools import product
     x, y = res
-    xw, ev = _window_view(x, nd)
-    # window axes to the back, flattened in row-major kernel order
-    win_axes = tuple(2 + 2 * i for i in range(nd))
-    keep_axes = tuple(a for a in range(xw.ndim) if a not in win_axes)
-    xt = xw.transpose(keep_axes + win_axes)
-    flat = xt.reshape(xt.shape[:-nd] + (2 ** nd,))
-    eq = flat == y[..., None]
-    first = eq & (jnp.cumsum(eq, axis=-1) == 1)
-    dflat = jnp.where(first, g[..., None], jnp.zeros((), g.dtype))
-    # invert the transpose/reshape back to the trimmed input layout
-    dxt = dflat.reshape(xt.shape)
-    inv = [0] * xw.ndim
-    for i, a in enumerate(keep_axes + win_axes):
-        inv[a] = i
-    dxw = dxt.transpose(inv)
-    dxs = dxw.reshape((x.shape[0],) + ev + (x.shape[-1],))
+    slices = _window_slices(x, nd)
+    taken = jnp.zeros(y.shape, jnp.bool_)
+    masked = []
+    for s in slices:  # row-major first-argmax priority (torch semantics)
+        eq = (s == y) & ~taken
+        taken = taken | eq
+        masked.append(jnp.where(eq, g, jnp.zeros((), g.dtype)))
+    # interleave the 2^nd phase grids back, innermost spatial axis first
+    grids = {offs: m for offs, m in zip(product((0, 1), repeat=nd), masked)}
+    for ax in range(nd - 1, -1, -1):
+        new = {}
+        for offs in product((0, 1), repeat=ax):
+            new[offs] = _interleave2(grids[offs + (0,)], grids[offs + (1,)],
+                                     axis=1 + ax)
+        grids = new
+    dxs = grids[()]
     # zero-pad the trimmed odd edges back (their gradient is zero)
+    ev = dxs.shape[1:-1]
     pads = [(0, 0)] + [(0, d - e) for d, e in zip(x.shape[1:-1], ev)] \
         + [(0, 0)]
     return (jnp.pad(dxs, pads),)
