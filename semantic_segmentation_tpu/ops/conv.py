@@ -12,6 +12,7 @@ handle the flip.
 
 from __future__ import annotations
 
+from itertools import product
 from typing import Sequence
 
 import jax.numpy as jnp
@@ -68,3 +69,76 @@ def conv_transpose_nd(x, w_hwio, b=None, stride=2, torch_padding=1,
     if b is not None:
         y = y + b.astype(y.dtype)
     return y
+
+
+def conv_transpose_nd_packed(x, w_hwio, b=None, stride=2, torch_padding=1,
+                             compute_dtype=None):
+    """``conv_transpose_nd`` as ONE dense stride-1 conv computing all s^nd
+    output phases at once (s^nd * C_out output channels), then per-phase
+    shifted slices interleaved back.
+
+    Why: XLA lowers lhs-dilated convs by materializing the hole pattern; at
+    the generator's OUTERMOST upconv (C_out=1, k8 s2, 128^2 -> 256^2) the
+    device trace shows 6-9 GB/s / ~0.76 TFLOP/s — the single worst op of
+    the flagship engine iteration (3.85 ms across its three netG forwards).
+    Packing the s^2 phases into channels gives the MXU s^2 * C_out output
+    lanes and a dense stride-1 window. Same math (per-phase kernels are
+    disjoint slices of w; each output element is the identical tap sum), so
+    results differ from the dilated form only by accumulation-order
+    rounding. Requires output_padding=0 and stride dividing nothing in
+    particular — any k, p with k - 1 - p >= 0.
+    """
+    nsp = w_hwio.ndim - 2
+    ks: Sequence[int] = w_hwio.shape[:nsp]
+    s = (stride,) * nsp if isinstance(stride, int) else tuple(stride)
+    pads = ((torch_padding,) * nsp if isinstance(torch_padding, int)
+            else tuple(torch_padding))
+    qs = [k - 1 - p for k, p in zip(ks, pads)]
+    assert all(q >= 0 for q in qs), (ks, pads)
+    if compute_dtype is not None:
+        x, w_hwio = x.astype(compute_dtype), w_hwio.astype(compute_dtype)
+    cout = w_hwio.shape[-1]
+    sp_in = x.shape[1:-1]
+
+    # per-phase kernels (disjoint tap slices of w) and output shifts
+    phases = list(product(*(range(si) for si in s)))
+    ws, offs = [], []
+    for ph in phases:
+        idx = tuple(slice((q - r) % si, None, si)
+                    for q, r, si in zip(qs, ph, s))
+        ws.append(w_hwio[idx])
+        offs.append(tuple((q - r) // si for q, r, si in zip(qs, ph, s)))
+    # equal tap counts per phase require s | k (true for the NAS kernel
+    # table: k 4/6/8 at s2); fall back to the dilated form otherwise
+    t0 = ws[0].shape[:nsp]
+    if any(w.shape[:nsp] != t0 for w in ws):
+        return conv_transpose_nd(x, w_hwio, b, stride, torch_padding,
+                                 compute_dtype=None)
+    wp = jnp.concatenate(ws, axis=-1)            # (*T, Cin, s^nd * Cout)
+    plo = [max(o[d] for o in offs) for d in range(nsp)]
+    phi = [t0[d] - 1 - min(o[d] for o in offs) for d in range(nsp)]
+    y = lax.conv_general_dilated(
+        x, wp, window_strides=(1,) * nsp,
+        padding=list(zip(plo, phi)),
+        dimension_numbers=_dn(nsp),
+    )
+    # slice each phase's shifted window, then interleave axis by axis
+    grids = {}
+    for i, (ph, off) in enumerate(zip(phases, offs)):
+        idx = (slice(None),) + tuple(
+            slice(plo[d] - off[d], plo[d] - off[d] + sp_in[d])
+            for d in range(nsp)) + (slice(i * cout, (i + 1) * cout),)
+        grids[ph] = y[idx]
+    for ax in range(nsp - 1, -1, -1):
+        new = {}
+        for head in product(*(range(si) for si in s[:ax])):
+            parts = [grids[head + (r,)] for r in range(s[ax])]
+            st = jnp.stack(parts, axis=ax + 2)
+            new[head] = st.reshape(
+                st.shape[:ax + 1] + (st.shape[ax + 1] * s[ax],)
+                + st.shape[ax + 3:])
+        grids = new
+    out = grids[()]
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out

@@ -165,3 +165,33 @@ def test_max_pool_2x_scatter_free_backward_bit_identical():
             np.asarray(jax.jit(lambda v: max_pool_2x(v, nd))(x)))
         np.testing.assert_array_equal(
             np.asarray(jax.grad(ref)(x)), np.asarray(jax.grad(ours)(x)))
+
+
+def test_conv_transpose_phase_packed_equals_dilated():
+    """conv_transpose_nd_packed (all s^nd phases in one dense conv — the
+    MXU-lane fix for the generator's 1-channel output layer) must equal the
+    dilated form to accumulation-order rounding, fwd and grad, 2D/3D, odd
+    shapes, every NAS kernel size (4/6/8 s2)."""
+    from semantic_segmentation_tpu.ops.conv import (conv_transpose_nd,
+                                                    conv_transpose_nd_packed)
+    rng = np.random.default_rng(0)
+    cases = [((2, 9, 7, 16), (4, 4, 16, 3), 1),
+             ((2, 8, 8, 16), (6, 6, 16, 1), 2),
+             ((2, 8, 8, 32), (8, 8, 32, 1), 3),
+             ((1, 5, 6, 4, 8), (4, 4, 4, 8, 2), 1)]
+    for xs, ws, p in cases:
+        x = jnp.asarray(rng.standard_normal(xs), jnp.float32)
+        w = jnp.asarray(rng.standard_normal(ws) * 0.05, jnp.float32)
+        b = jnp.asarray(rng.standard_normal(ws[-1]), jnp.float32)
+        a = np.asarray(conv_transpose_nd(x, w, b, stride=2, torch_padding=p))
+        c = np.asarray(conv_transpose_nd_packed(x, w, b, stride=2,
+                                                torch_padding=p))
+        np.testing.assert_allclose(a, c, rtol=2e-5, atol=1e-6)
+
+        def loss(fn, w):
+            return jnp.sum(fn(x, w, stride=2, torch_padding=p) ** 2)
+
+        ga = np.asarray(jax.grad(lambda w: loss(conv_transpose_nd, w))(w))
+        gc = np.asarray(
+            jax.grad(lambda w: loss(conv_transpose_nd_packed, w))(w))
+        np.testing.assert_allclose(ga, gc, rtol=2e-5, atol=1e-5)
