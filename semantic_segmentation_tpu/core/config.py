@@ -51,6 +51,9 @@ class ModelConfig:
     bilinear: bool = False
     base_features: int = 64          # U-Net width (64 = reference)
     compute_dtype: str = "bfloat16"  # AMP analogue; 'float32' to disable
+    # phase-packed ConvTranspose lowering (ops/conv.py): s^nd x the MXU
+    # output-lane utilization; same math to accumulation-order rounding
+    convt_packed: bool = False
 
 
 @dataclass
@@ -247,4 +250,9 @@ def parse_config(argv: list[str] | None = None, preset: str | None = None) -> Co
             raise SystemExit(f"unrecognized argument {a!r}; use --a.b=c")
         k, v = a[2:].split("=", 1)
         _set_by_path(cfg, k, v)
+    # build-time lowering switch — every entry point funnels through here,
+    # so this is the single application site (a process-global compilation
+    # choice, not training state)
+    from semantic_segmentation_tpu.ops.conv import use_packed_transpose
+    use_packed_transpose(cfg.model.convt_packed)
     return cfg

@@ -44,6 +44,17 @@ def conv_nd(x, w_hwio, b=None, stride=1, padding=0, compute_dtype=None):
     return y
 
 
+_PACKED_TRANSPOSE = False
+
+
+def use_packed_transpose(enable: bool) -> None:
+    """Process-wide switch (cfg.model.convt_packed): route eligible
+    conv_transpose_nd calls through the phase-packed lowering. A build-time
+    compilation choice, not training state — same math either way."""
+    global _PACKED_TRANSPOSE
+    _PACKED_TRANSPOSE = bool(enable)
+
+
 def conv_transpose_nd(x, w_hwio, b=None, stride=2, torch_padding=1,
                       output_padding=0, compute_dtype=None):
     """``ConvTranspose(k, stride, padding=p, output_padding=op)`` with torch
@@ -57,6 +68,17 @@ def conv_transpose_nd(x, w_hwio, b=None, stride=2, torch_padding=1,
             else tuple(torch_padding))
     opads = ((output_padding,) * nsp if isinstance(output_padding, int)
              else tuple(output_padding))
+    if _PACKED_TRANSPOSE and not any(opads):
+        return conv_transpose_nd_packed(x, w_hwio, b, stride, torch_padding,
+                                        compute_dtype=compute_dtype)
+    return _conv_transpose_dilated(x, w_hwio, b, strides, pads, opads,
+                                   compute_dtype)
+
+
+def _conv_transpose_dilated(x, w_hwio, b, strides, pads, opads,
+                            compute_dtype):
+    nsp = w_hwio.ndim - 2
+    ks = w_hwio.shape[:nsp]
     if compute_dtype is not None:
         x, w_hwio = x.astype(compute_dtype), w_hwio.astype(compute_dtype)
     y = lax.conv_general_dilated(
@@ -112,8 +134,8 @@ def conv_transpose_nd_packed(x, w_hwio, b=None, stride=2, torch_padding=1,
     # table: k 4/6/8 at s2); fall back to the dilated form otherwise
     t0 = ws[0].shape[:nsp]
     if any(w.shape[:nsp] != t0 for w in ws):
-        return conv_transpose_nd(x, w_hwio, b, stride, torch_padding,
-                                 compute_dtype=None)
+        return _conv_transpose_dilated(x, w_hwio, b, s, pads, (0,) * nsp,
+                                       None)
     wp = jnp.concatenate(ws, axis=-1)            # (*T, Cin, s^nd * Cout)
     plo = [max(o[d] for o in offs) for d in range(nsp)]
     phi = [t0[d] - 1 - min(o[d] for o in offs) for d in range(nsp)]
