@@ -195,3 +195,28 @@ def test_conv_transpose_phase_packed_equals_dilated():
         gc = np.asarray(
             jax.grad(lambda w: loss(conv_transpose_nd_packed, w))(w))
         np.testing.assert_allclose(ga, gc, rtol=2e-5, atol=1e-5)
+
+
+def test_unet_generator_packed_transpose_matches_dilated(generator_small):
+    """The model.convt_packed lowering must compose with the full generator
+    (NAS mixed upconv cells at every level) and with a batch-sharded mesh,
+    matching the dilated form to accumulation-order rounding."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from semantic_segmentation_tpu.ops import conv
+
+    model, variables, arch = generator_small
+    x = jax.random.normal(jax.random.key(1), (8, 256, 256, 1))
+    y0 = model.apply(variables, x, arch, train=False)
+    conv.use_packed_transpose(True)
+    try:
+        y1 = model.apply(variables, x, arch, train=False)
+        mesh = Mesh(np.array(jax.devices()), ("data",))
+        xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+        vs = jax.device_put(variables, NamedSharding(mesh, P()))
+        y2 = jax.jit(lambda v, x: model.apply(v, x, arch, train=False))(vs, xs)
+    finally:
+        conv.use_packed_transpose(False)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               rtol=1e-4, atol=1e-5)
