@@ -309,3 +309,82 @@ def test_bbdm_bridge_program_matches_torch_oracle():
     np.testing.assert_allclose(np.asarray(img),
                                img_t.numpy().transpose(0, 2, 3, 1),
                                atol=2e-5)
+
+
+def test_sivae_soft_intro_step_trajectory():
+    """(d): 3 soft-intro steps (encoder step with expELBO repulsion +
+    decoder step, two Adams) vs the torch restatement of
+    Soft-intro_VAE/train_vae.py's phase-2 loop, with identical gaussian
+    draws injected from the jitted step's own key schedule.
+
+    Tolerance design: Adam's first-step update is ~±lr·sign(g) REGARDLESS
+    of |g|, so components whose true gradient sits below cross-framework
+    float noise (~1e-7 rel) step in opposite directions — a ±2·lr drift
+    that is intrinsic to cross-framework Adam comparison, not a defect
+    (measured: max param drift after one step = 2·lr exactly). The oracle
+    therefore (i) checks step-0 losses TIGHTLY (forward parity), (ii) runs
+    at lr 2e-5 (10x below the reference default, same math) to condition
+    the trajectory, and (iii) widens the per-step loss tolerance with
+    step index."""
+    from semantic_segmentation_tpu.models.vae.sivae import SoftIntroVAE
+    from semantic_segmentation_tpu.train.train_vae import (SIVAEParams,
+                                                           SIVAETrainer)
+    from tests.torch_oracles import (TorchGUnetAddInput, TorchSIVAEEncoder,
+                                     torch_soft_intro_step)
+
+    size, B = 32, 2
+    model = SoftIntroVAE(latent_dim=8, output_nc=3, ngf=8, netG="unet_32",
+                         dtype=jnp.float32)
+    hp = SIVAEParams(lr_e=2e-5, lr_d=2e-5)
+    trainer = SIVAETrainer(model, hp, size)
+    state = trainer.init(jax.random.key(0), size)
+
+    E = TorchSIVAEEncoder(latent_dim=8)
+    E.load_flax(jax.device_get(state.enc_params),
+                jax.device_get(state.enc_stats))
+    Dec = TorchGUnetAddInput(input_nc=3, output_nc=3, nz=8, num_downs=5,
+                             ngf=8)
+    Dec.load_flax(jax.device_get(state.dec_params),
+                  jax.device_get(state.dec_stats))
+    E.train(), Dec.train()
+    arch_t = torch.tensor(np.asarray(state.arch))
+    opt_e = torch.optim.Adam(E.parameters(), lr=hp.lr_e)
+    opt_d = torch.optim.Adam(Dec.parameters(), lr=hp.lr_d)
+
+    rng_np = np.random.default_rng(3)
+    root = jax.random.key(7)
+    for i in range(3):
+        a = (rng_np.random((B, size, size, 3)) > 0.5).astype(np.float32)
+        b = (rng_np.random((B, size, size, 3)) * 2 - 1).astype(np.float32)
+        rng = jax.random.fold_in(root, i)
+        state, metrics = trainer.soft_intro_step(state, jnp.asarray(a),
+                                                 jnp.asarray(b), rng)
+        # regenerate the step's gaussian draws from its key schedule
+        kz, ke, kd1, kd2 = jax.random.split(rng, 4)
+        noise = torch.tensor(np.asarray(jax.random.normal(kz, (B, 8))))
+        eps_e = torch.tensor(np.asarray(jax.random.normal(ke, (B, 8))))
+        eps_f = torch.tensor(np.asarray(jax.random.normal(kd1, (B, 8))))
+        eps_r = torch.tensor(np.asarray(jax.random.normal(kd2, (B, 8))))
+        le, ld, lrec, lkl = torch_soft_intro_step(
+            E, Dec, arch_t, opt_e, opt_d, _nchw(a), _nchw(b), noise,
+            eps_e, eps_f, eps_r, hp, trainer.scale)
+        rt = (2e-4, 2e-3, 1e-2)[i]   # Adam sign-noise drift (docstring)
+        np.testing.assert_allclose(float(metrics["lossE"]), le, rtol=rt,
+                                   atol=2e-5, err_msg=f"lossE step {i}")
+        np.testing.assert_allclose(float(metrics["lossD"]), ld, rtol=rt,
+                                   atol=2e-5, err_msg=f"lossD step {i}")
+        np.testing.assert_allclose(float(metrics["loss_rec"]), lrec,
+                                   rtol=rt, err_msg=f"loss_rec step {i}")
+        np.testing.assert_allclose(float(metrics["loss_kl"]), lkl,
+                                   rtol=rt, atol=1e-4,
+                                   err_msg=f"loss_kl step {i}")
+
+    # params match to the intrinsic +-2*lr*steps sign-noise envelope
+    ours = np.asarray(jax.device_get(state.enc_params["stem"]["kernel"]))
+    theirs = E.stem.weight.detach().numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-3,
+                               atol=6 * hp.lr_e + 1e-6)
+    ours_d = np.asarray(jax.device_get(state.dec_params["down0"]["kernel"]))
+    theirs_d = Dec.downs[0].weight.detach().numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(ours_d, theirs_d, rtol=1e-3,
+                               atol=6 * hp.lr_d + 1e-6)

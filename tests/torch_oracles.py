@@ -737,3 +737,266 @@ class TorchBridgeOracle:
                 (img - (1.0 - m_t) * x0_recon - m_t * y)
             img = mean + sigma_t * noise
         return img
+
+
+# ---------------------------------------------------------------------------
+# Soft-intro VAE family (Soft-intro_VAE/models.py, UNet.py, train_vae.py)
+# ---------------------------------------------------------------------------
+
+class TorchMixedS1(nn.Module):
+    """Explicit 3-branch stride-1 Cell_conv (kernels 3/5/7): sum_i w_i *
+    conv_i(x) — the unfused restatement of ops/nas.MixedConv
+    (equivalence of fused vs 3-branch is tested in test_nas.py)."""
+
+    def __init__(self, c_in, c_out):
+        super().__init__()
+        self.ops = nn.ModuleList([
+            nn.Conv2d(c_in, c_out, k, 1, (k - 1) // 2, bias=False)
+            for k in (3, 5, 7)])
+
+    def forward(self, x, w):
+        return sum(wi * op(x) for wi, op in zip(w, self.ops))
+
+    def load_flax(self, params):
+        for op, k in zip(self.ops, (3, 5, 7)):
+            op.weight.data = conv_to_torch(params[f"kernel_{k}"])
+
+
+class TorchSIVAEBasicBlock(nn.Module):
+    """models/vae/sivae._BasicBlock: conv1 (mixed if stride 1, plain strided
+    otherwise), bn, relu, conv2 (mixed), bn, 1x1 downsample shortcut."""
+
+    def __init__(self, c_in, planes, stride, cell_base):
+        super().__init__()
+        self.stride, self.cell_base = stride, cell_base
+        if stride == 1:
+            self.conv1 = TorchMixedS1(c_in, planes)
+        else:
+            self.conv1 = nn.Conv2d(c_in, planes, 3, stride, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes, momentum=0.1, eps=1e-5)
+        self.conv2 = TorchMixedS1(planes, planes)
+        self.bn2 = nn.BatchNorm2d(planes, momentum=0.1, eps=1e-5)
+        self.down = None
+        if stride != 1 or c_in != planes:
+            self.down = nn.Conv2d(c_in, planes, 1, stride, bias=False)
+            self.down_bn = nn.BatchNorm2d(planes, momentum=0.1, eps=1e-5)
+
+    def forward(self, x, arch_sm):
+        ci = self.cell_base
+        if self.stride == 1:
+            h = self.conv1(x, arch_sm[ci])
+            cell2 = ci + 1
+        else:
+            h = self.conv1(x)
+            cell2 = ci
+        h = F.relu(self.bn1(h))
+        h = self.bn2(self.conv2(h, arch_sm[cell2]))
+        idn = x if self.down is None else self.down_bn(self.down(x))
+        return F.relu(h + idn)
+
+    def load_flax(self, p, s):
+        if self.stride == 1:
+            self.conv1.load_flax(p["conv1"])
+        else:
+            self.conv1.weight.data = conv_to_torch(p["conv1"]["kernel"])
+        load_bn(self.bn1, p["bn1"], s["bn1"])
+        self.conv2.load_flax(p["conv2"])
+        load_bn(self.bn2, p["bn2"], s["bn2"])
+        if self.down is not None:
+            self.down.weight.data = conv_to_torch(p["down_conv"]["kernel"])
+            load_bn(self.down_bn, p["down_bn"], s["down_bn"])
+
+
+class TorchSIVAEEncoder(nn.Module):
+    """models/vae/sivae.ResNet18Encoder (reference models.py:80-126): stem
+    conv7 s2, maxpool3 s2 p1, 6 basic blocks with 10 mixed cells, avg-pool,
+    fc mu / fc logvar."""
+
+    BLOCKS = (("l1b0", 64, 64, 1, 0), ("l1b1", 64, 64, 1, 2),
+              ("l2b0", 64, 128, 2, 4), ("l2b1", 128, 128, 1, 5),
+              ("l3b0", 128, 256, 2, 7), ("l3b1", 256, 256, 1, 8))
+
+    def __init__(self, latent_dim=8):
+        super().__init__()
+        self.stem = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.stem_bn = nn.BatchNorm2d(64, momentum=0.1, eps=1e-5)
+        self.blocks = nn.ModuleDict({
+            name: TorchSIVAEBasicBlock(cin, planes, stride, cell)
+            for name, cin, planes, stride, cell in self.BLOCKS})
+        self.fc_mu = nn.Linear(256, latent_dim)
+        self.fc_logvar = nn.Linear(256, latent_dim)
+
+    def forward(self, x, arch):
+        arch_sm = torch.softmax(arch, dim=-1)
+        h = F.relu(self.stem_bn(self.stem(x)))
+        h = F.max_pool2d(h, 3, 2, 1)
+        for name, *_ in self.BLOCKS:
+            h = self.blocks[name](h, arch_sm)
+        k = min(8, h.shape[-1])
+        h = F.avg_pool2d(h, k).flatten(1)
+        return self.fc_mu(h), self.fc_logvar(h)
+
+    def load_flax(self, params, stats):
+        self.stem.weight.data = conv_to_torch(params["stem"]["kernel"])
+        load_bn(self.stem_bn, params["stem_bn"], stats["stem_bn"])
+        for name, *_ in self.BLOCKS:
+            self.blocks[name].load_flax(params[name], stats.get(name, {}))
+        for fc, nm in ((self.fc_mu, "fc_mu"), (self.fc_logvar, "fc_logvar")):
+            fc.weight.data = torch.tensor(
+                np.asarray(params[nm]["kernel"]).T.copy())
+            fc.bias.data = torch.tensor(np.asarray(params[nm]["bias"]))
+
+
+class TorchGUnetAddInput(nn.Module):
+    """models/vae/sivae.GUnetAddInput (reference UNet.py G_Unet_add_input):
+    z broadcast-concat at input, 4x4 s2 downs (bias=True), bilinear-up +
+    reflect-pad 3x3 convs, tanh head."""
+
+    def __init__(self, input_nc=3, output_nc=3, nz=8, num_downs=5, ngf=8):
+        super().__init__()
+        self.nz, self.nd = nz, num_downs
+        nd, inner = num_downs, [min(ngf * 2 ** d, ngf * 8)
+                                for d in range(num_downs)]
+        outer = [output_nc] + [min(ngf * 2 ** (d - 1), ngf * 8)
+                               for d in range(1, nd)]
+        self.downs = nn.ModuleList()
+        self.down_bns = nn.ModuleDict()
+        self.ups = nn.ModuleList()
+        self.up_bns = nn.ModuleDict()
+        for d in range(nd):
+            cin = (input_nc + nz) if d == 0 else inner[d - 1]
+            self.downs.append(nn.Conv2d(cin, inner[d], 4, 2, 1, bias=True))
+            if 0 < d < nd - 1:
+                self.down_bns[str(d)] = nn.BatchNorm2d(inner[d],
+                                                       momentum=0.1, eps=1e-5)
+            up_in = inner[d] + (inner[d] if d < nd - 1 else 0)
+            self.ups.append(nn.Conv2d(up_in, outer[d], 3, 1, 0, bias=True))
+            if d > 0:
+                self.up_bns[str(d)] = nn.BatchNorm2d(outer[d], momentum=0.1,
+                                                     eps=1e-5)
+
+    def forward(self, x, z):
+        nd = self.nd
+        zi = z[:, :, None, None].expand(-1, -1, x.shape[2], x.shape[3])
+        h0 = torch.cat([x, zi], dim=1)
+
+        def block(h, d):
+            skip = h
+            if d > 0:
+                h = F.leaky_relu(h, 0.2)
+            h = self.downs[d](h)
+            if 0 < d < nd - 1:
+                h = self.down_bns[str(d)](h)
+            if d < nd - 1:
+                h = block(h, d + 1)
+            h = F.relu(h)
+            h = F.interpolate(h, scale_factor=2, mode="bilinear",
+                              align_corners=False)
+            h = F.pad(h, (1, 1, 1, 1), mode="reflect")
+            h = self.ups[d](h)
+            if d == 0:
+                return torch.tanh(h)
+            h = self.up_bns[str(d)](h)
+            return torch.cat([skip, h], dim=1)
+
+        return block(h0, 0)
+
+    def load_flax(self, params, stats):
+        for d in range(self.nd):
+            self.downs[d].weight.data = conv_to_torch(
+                params[f"down{d}"]["kernel"])
+            self.downs[d].bias.data = torch.tensor(
+                np.asarray(params[f"down{d}"]["bias"]))
+            if 0 < d < self.nd - 1:
+                load_bn(self.down_bns[str(d)], params[f"down_bn{d}"],
+                        stats[f"down_bn{d}"])
+            self.ups[d].weight.data = conv_to_torch(params[f"up{d}"]["kernel"])
+            self.ups[d].bias.data = torch.tensor(
+                np.asarray(params[f"up{d}"]["bias"]))
+            if d > 0:
+                load_bn(self.up_bns[str(d)], params[f"up_bn{d}"],
+                        stats[f"up_bn{d}"])
+
+
+def torch_calc_rec(x, rec, reduction):
+    """loss.py calc_reconstruction_loss (mse): per-sample sum of squares."""
+    err = (rec.flatten(1) - x.flatten(1)).pow(2).sum(dim=1)
+    return {"sum": err.sum(), "mean": err.mean(), "none": err}[reduction]
+
+
+def torch_calc_kl(logvar, mu, reduce):
+    kl = -0.5 * (1 + logvar - mu.pow(2) - logvar.exp()).sum(dim=1)
+    return {"sum": kl.sum(), "mean": kl.mean(), "none": kl}[reduce]
+
+
+def torch_soft_intro_step(E, Dec, arch, opt_e, opt_d, a, b, noise,
+                          eps_e, eps_f, eps_r, hp, scale):
+    """train/train_vae.SIVAETrainer.soft_intro_step (reference
+    Soft-intro_VAE/train_vae.py soft-intro phase) restated in torch with the
+    SAME injected gaussian draws. Returns (lossE, lossD, loss_rec, loss_kl).
+    """
+
+    def rep(mu, logvar, eps):
+        return mu + torch.exp(0.5 * logvar) * eps
+
+    # ===== encoder step (decoder frozen) =====
+    opt_e.zero_grad()
+    for p in Dec.parameters():
+        p.requires_grad_(False)
+    fake = Dec(a, noise)
+    mu, logvar = E(b, arch)
+    z = rep(mu, logvar, eps_e)
+    rec = Dec(a, z)
+    loss_rec = torch_calc_rec(b, rec, "mean")
+    real_kl = torch_calc_kl(logvar, mu, "mean")
+    fmu, flv = E(fake.detach(), arch)
+    rmu, rlv = E(rec.detach(), arch)
+    zf = rep(fmu, flv, eps_f)
+    zr = rep(rmu, rlv, eps_r)
+    rec_fake = Dec(a, zf)
+    rec_rec = Dec(a, zr)
+    fake_kl = torch_calc_kl(flv, fmu, "none")
+    rec_kl = torch_calc_kl(rlv, rmu, "none")
+    l_fake_rec = torch_calc_rec(fake, rec_fake, "none")
+    l_rec_rec = torch_calc_rec(rec, rec_rec, "none")
+    exp_fake = torch.exp(torch.clamp(
+        -2 * scale * (hp.beta_rec * l_fake_rec + hp.beta_neg * fake_kl),
+        -50, 50)).mean()
+    exp_rec = torch.exp(torch.clamp(
+        -2 * scale * (hp.beta_rec * l_rec_rec + hp.beta_neg * rec_kl),
+        -50, 50)).mean()
+    lossE = scale * (hp.beta_rec * loss_rec + hp.beta_kl * real_kl) + \
+        0.25 * (exp_fake + exp_rec)
+    lossE.backward()
+    opt_e.step()
+    for p in Dec.parameters():
+        p.requires_grad_(True)
+
+    # ===== decoder step (encoder frozen) =====
+    opt_d.zero_grad()
+    for p in E.parameters():
+        p.requires_grad_(False)
+    fake = Dec(a, noise)
+    mu, logvar = E(b, arch)
+    z = rep(mu, logvar, eps_e).detach()
+    rec = Dec(a, z)
+    loss_rec2 = torch_calc_rec(b, rec, "mean")
+    rmu, rlv = E(rec, arch)
+    fmu, flv = E(fake, arch)
+    zr = rep(rmu, rlv, eps_f).detach()   # ld uses kd1 for zr, kd2 for zf
+    zf = rep(fmu, flv, eps_r).detach()
+    rec_rec = Dec(a, zr)
+    rec_fake = Dec(a, zf)
+    l_rr = torch_calc_rec(rec.detach(), rec_rec, "mean")
+    l_rf = torch_calc_rec(fake.detach(), rec_fake, "mean")
+    fake_kl = torch_calc_kl(flv, fmu, "mean")
+    rec_kl = torch_calc_kl(rlv, rmu, "mean")
+    lossD = scale * (hp.beta_rec * loss_rec2 +
+                     0.5 * hp.beta_kl * (fake_kl + rec_kl) +
+                     hp.gamma_r * 0.5 * hp.beta_rec * (l_rr + l_rf))
+    lossD.backward()
+    opt_d.step()
+    for p in E.parameters():
+        p.requires_grad_(True)
+    return (float(lossE.detach()), float(lossD.detach()),
+            float(loss_rec.detach()), float(real_kl.detach()))
