@@ -119,18 +119,26 @@ def run_stage(stage: str) -> dict:
 def main():
     results = {}
     for stage in ("capacity", "headline", "darts"):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env={**os.environ, "BENCH_STAGE": stage},
-            capture_output=True, text=True)
-        last = [l for l in proc.stdout.strip().splitlines() if l][-1:]
-        if proc.returncode != 0 or not last:
+        # the tunneled TPU backend can be transiently UNAVAILABLE; a failed
+        # stage is retried with backoff rather than voiding the whole bench
+        for attempt in range(3):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env={**os.environ, "BENCH_STAGE": stage},
+                capture_output=True, text=True)
+            last = [l for l in proc.stdout.strip().splitlines() if l][-1:]
+            if proc.returncode == 0 and last:
+                results[stage] = json.loads(last[0])
+                break
+            print(f"stage {stage} attempt {attempt} failed: "
+                  f"{proc.stderr[-300:]}", file=sys.stderr)
+            time.sleep(60 * (attempt + 1))
+        else:
             print(json.dumps({"metric": "end2end_bilevel_iters_per_sec",
                               "value": None,
-                              "error": f"stage {stage} failed",
+                              "error": f"stage {stage} failed 3x",
                               "stderr": proc.stderr[-800:]}))
             return
-        results[stage] = json.loads(last[0])
 
     head, darts, cap = (results["headline"], results["darts"],
                         results["capacity"])
