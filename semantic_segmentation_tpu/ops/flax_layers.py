@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
+from itertools import product
 from typing import Any, Callable, Sequence
 
 import flax.linen as nn
@@ -121,7 +122,6 @@ def _window_slices(x, nd: int):
     window slices in row-major kernel order. Slices (unlike a multi-axis
     window reshape) are transparent to GSPMD sharding propagation, so the
     pool composes with batch-sharded data-parallel steps."""
-    from itertools import product
     sp = x.shape[1:-1]
     ev = tuple(d - d % 2 for d in sp)
     xs = x[(slice(None),) + tuple(slice(0, e) for e in ev) + (slice(None),)]
@@ -150,7 +150,6 @@ def _interleave2(a, b, axis: int):
 
 
 def _pool_bwd(nd: int, res, g):
-    from itertools import product
     x, y = res
     slices = _window_slices(x, nd)
     taken = jnp.zeros(y.shape, jnp.bool_)
