@@ -13,7 +13,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from semantic_segmentation_tpu.ops.losses import dice_coeff, multiclass_dice_coeff
+from semantic_segmentation_tpu.ops.losses import (dice_coeff, jaccard_index,
+                                                  multiclass_dice_coeff)
 
 
 @partial(jax.jit, static_argnames=("n_classes",))
@@ -33,6 +34,27 @@ def eval_batch_dice(logits, true_mask, n_classes: int = 1):
     pred_oh = jnp.moveaxis(pred_oh, -1, 1)[:, 1:]
     true_oh = jnp.moveaxis(true_oh, -1, 1)[:, 1:]
     return multiclass_dice_coeff(pred_oh, true_oh, reduce_batch_first=False)
+
+
+@jax.jit
+def eval_batch_jaccard(logits, true_mask):
+    """The ISIC scripts' evaluation metric (running_files/test_isic.py:56-84
+    and train_end2end_isic.py:60-82): smoothed Jaccard of
+    (sigmoid(logits) > 0.5) vs the true mask, batch-averaged. Binary only —
+    the reference ISIC path has no multi-class variant."""
+    if true_mask.ndim == logits.ndim:
+        true_mask = true_mask[..., 0]
+    pred = (jax.nn.sigmoid(logits[..., 0]) > 0.5).astype(jnp.float32)
+    return jaccard_index(true_mask.astype(jnp.float32), pred)
+
+
+def eval_batch_score(logits, true_mask, n_classes: int = 1,
+                     metric: str = "dice"):
+    """Protocol dispatch: JSRT-family scripts score Dice
+    (unet/evaluate.py), ISIC-family scripts score Jaccard (test_isic.py)."""
+    if metric == "jaccard":
+        return eval_batch_jaccard(logits, true_mask)
+    return eval_batch_dice(logits, true_mask, n_classes)
 
 
 def evaluate_dataset(apply_fn, batches, n_classes: int = 1):

@@ -53,14 +53,17 @@ def run(cfg: Config, model_file: str = ""):
     splits = load_splits(cfg)
     log = MetricsLogger(save_dir)
     results = {}
+    # metric protocol per family: Dice (test_lung.py) vs Jaccard
+    # (test_isic.py:56-84 scores JC_index on ISIC/PH2/DermIS)
+    metric = "jaccard" if cfg.data.dataset.startswith("isic") else "dice"
     if splits["test"] is not None:
-        results["test_dice"] = evaluate_split(problem, state, splits["test"],
-                                              cfg.data.batch_size,
-                                              cfg.model.classes)
+        results[f"test_{metric}"] = evaluate_split(
+            problem, state, splits["test"], cfg.data.batch_size,
+            cfg.model.classes, metric)
     for name, data in splits["ood"]:
         results[f"ood_{name}"] = evaluate_split(problem, state, data,
                                                 cfg.data.batch_size,
-                                                cfg.model.classes)
+                                                cfg.model.classes, metric)
     for k, v in results.items():
         log.info("%s: %.5f", k, v)
     log.log(results)

@@ -41,7 +41,7 @@ from semantic_segmentation_tpu.models.seg import SegProblem, seg_loss_fn
 from semantic_segmentation_tpu.ops import image as iops
 from semantic_segmentation_tpu.ops.augment import random_augment_batch
 from semantic_segmentation_tpu.ops.losses import gan_loss, l1_loss
-from semantic_segmentation_tpu.ops.metrics import eval_batch_dice
+from semantic_segmentation_tpu.ops.metrics import eval_batch_score
 from semantic_segmentation_tpu.train.common import load_splits
 from semantic_segmentation_tpu.train.train_pix2pix import build_pix2pix, load_model
 from semantic_segmentation_tpu.utils.visuals import save_image_grid
@@ -216,12 +216,13 @@ def save_validation_panels(p2p: Pix2Pix, state, val_dev, it, save_dir, log,
     log.log_images(panels, it)
 
 
-def evaluate_seg(seg: SegProblem, params, stats, data, batch_size, n_classes):
+def evaluate_seg(seg: SegProblem, params, stats, data, batch_size, n_classes,
+                 metric: str = "dice"):
     total, count = 0.0, 0
     for b in eval_batches(data, batch_size):
         logits = seg.eval_logits_p(params, stats,
                                    b["image"].astype(np.float32))
-        total += float(eval_batch_dice(logits, b["mask"], n_classes))
+        total += float(eval_batch_score(logits, b["mask"], n_classes, metric))
         count += 1
     return total / max(count, 1)
 
@@ -229,6 +230,9 @@ def evaluate_seg(seg: SegProblem, params, stats, data, batch_size, n_classes):
 def train(cfg: Config, train_iters: int | None = None):
     engine, state, p2p, seg = build_engine_and_state(
         cfg, jax.random.key(cfg.run.seed))
+    # ISIC scripts validate AND test on Jaccard (train_end2end_isic.py:
+    # 60-82, test_isic.py:56-84); the JSRT family scores Dice
+    val_metric = "jaccard" if cfg.data.dataset.startswith("isic") else "dice"
     splits = load_splits(cfg)
     save_dir = os.path.join(cfg.run.save_dir, cfg.run.name)
     log = MetricsLogger(save_dir, cfg.run.wandb, cfg.run.wandb_project,
@@ -368,10 +372,10 @@ def train(cfg: Config, train_iters: int | None = None):
         # on-device validation on the HBM-resident val split, then ONE
         # device->host transfer for all scalars (each float() would be a
         # full round-trip through the device tunnel)
-        dice_dev = eval_batch_dice(
+        dice_dev = eval_batch_score(
             seg.eval_logits_p(state.params["unet"], state.stats["unet"],
                               val_dev["image"]),
-            val_dev["mask"], seg.n_classes)
+            val_dev["mask"], seg.n_classes, val_metric)
         m_host, val = jax.device_get((metrics, dice_dev))
         val = float(val)
         if val > best_val:
@@ -398,13 +402,14 @@ def train(cfg: Config, train_iters: int | None = None):
     results = {"best_val": best_val}
     bu_params, bu_stats = best_unet
     if splits["test"] is not None:
-        results["test_dice"] = evaluate_seg(
+        results[f"test_{val_metric}"] = evaluate_seg(
             seg, bu_params, bu_stats, splits["test"],
-            cfg.data.batch_size, seg.n_classes)
+            cfg.data.batch_size, seg.n_classes, val_metric)
+        results.setdefault("test_dice", results[f"test_{val_metric}"])
     for name, data in splits["ood"]:
         results[f"ood_{name}"] = evaluate_seg(
             seg, bu_params, bu_stats, data,
-            cfg.data.batch_size, seg.n_classes)
+            cfg.data.batch_size, seg.n_classes, val_metric)
     from semantic_segmentation_tpu.utils.serialization import save_pytree
     save_pytree(jax.device_get({"params": bu_params, "stats": bu_stats}),
                 os.path.join(save_dir, "unet_best.msgpack"))

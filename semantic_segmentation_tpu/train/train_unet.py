@@ -18,17 +18,18 @@ from semantic_segmentation_tpu.core.logging_utils import MetricsLogger
 from semantic_segmentation_tpu.core.optim import PlateauTracker, set_learning_rate
 from semantic_segmentation_tpu.data.pipeline import batch_iterator, eval_batches
 from semantic_segmentation_tpu.models.seg import SegProblem
-from semantic_segmentation_tpu.ops.metrics import eval_batch_dice
+from semantic_segmentation_tpu.ops.metrics import eval_batch_score
 from semantic_segmentation_tpu.train.common import load_splits
 
 import jax.numpy as jnp
 
 
-def evaluate_split(problem: SegProblem, state, data, batch_size, n_classes):
+def evaluate_split(problem: SegProblem, state, data, batch_size, n_classes,
+                   metric: str = "dice"):
     total, count = 0.0, 0
     for b in eval_batches(data, batch_size):
         logits = problem.eval_logits(state, b["image"])
-        total += float(eval_batch_dice(logits, b["mask"], n_classes))
+        total += float(eval_batch_score(logits, b["mask"], n_classes, metric))
         count += 1
     return total / max(count, 1)
 

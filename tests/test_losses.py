@@ -1,5 +1,6 @@
 """Loss parity tests vs the reference formulas (cross-checked against torch
 CPU where the reference uses torch built-ins)."""
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -98,3 +99,20 @@ def test_gradient_penalty_finite(rng_np):
     disc = lambda x: jnp.sum(x ** 2, axis=(1, 2, 3))
     gp = losses.gradient_penalty(disc, real, fake, jax.random.key(0))
     assert np.isfinite(float(gp))
+
+
+def test_eval_batch_jaccard_protocol(rng_np):
+    """test_isic.py:56-84 eval protocol: threshold sigmoid at 0.5, smoothed
+    Jaccard vs the mask, batch mean — and the metric dispatch selects it for
+    the ISIC family."""
+    from semantic_segmentation_tpu.ops.metrics import (eval_batch_jaccard,
+                                                       eval_batch_score)
+    logits = jnp.asarray(rng_np.standard_normal((2, 16, 16, 1)), jnp.float32)
+    mask = jnp.asarray((rng_np.random((2, 16, 16, 1)) > 0.5), jnp.int32)
+    ours = float(eval_batch_jaccard(logits, mask))
+    pred = (jax.nn.sigmoid(logits[..., 0]) > 0.5).astype(jnp.float32)
+    ref = float(losses.jaccard_index(mask[..., 0].astype(jnp.float32), pred))
+    np.testing.assert_allclose(ours, ref, rtol=1e-6)
+    assert float(eval_batch_score(logits, mask, 1, "jaccard")) == ours
+    d = float(eval_batch_score(logits, mask, 1, "dice"))
+    assert 0.0 <= d <= 1.0 and d != ours
