@@ -215,3 +215,26 @@ def test_tp_engine_step_matches_single_device(tmp_path):
     b = jax.tree.leaves(s2.params["unet"])[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
                                atol=1e-5)
+
+
+def test_train_bbdm_entry_dp_matches_single(tmp_path):
+    """BBDM trainer (the reference's only DDP program, BBDM/main.py:70-127)
+    under an 8-device data mesh: state replicated, batches sharded — final
+    val loss equals the single-device run."""
+    from semantic_segmentation_tpu.train.train_bbdm import BBDMModel, train
+
+    def run(name, axis):
+        cfg = _dp_cfg(tmp_path, name, axis)
+        cfg.engine.valid_step = 4
+        model = BBDMModel(channels=1, model_channels=8, channel_mult=(1, 2),
+                          num_res_blocks=1, compute_dtype=None)
+        _, state = train(cfg, train_iters=4, model=model)
+        return model, state, cfg
+
+    from semantic_segmentation_tpu.data import SyntheticSegDataset, stack_dataset
+    m1, s1, c1 = run("bbdm_dp1", 1)
+    m8, s8, c8 = run("bbdm_dp8", 8)
+    data = stack_dataset(SyntheticSegDataset(n=8, size=32))
+    l1 = float(m1.val_loss(s1, data, jax.random.key(5)))
+    l8 = float(m8.val_loss(s8, data, jax.random.key(5)))
+    np.testing.assert_allclose(l8, l1, rtol=1e-4)
