@@ -157,6 +157,13 @@ PRESETS: dict[str, dict[str, Any]] = {
     "pix2pix_jsrt": {"optim.lr": 2e-5, "engine.train_iters": 8000,
                      "data.n_train": 80, "data.n_val": 20, "data.n_test": 0,
                      "run.name": "pix2pix-JSRT"},
+    # ColorizationModel (models_pix2pix/colorization_model.py): pix2pix
+    # L -> ab in Lab space; dataset_mode=colorization sets input_nc=1 /
+    # output_nc=2 (:12-13)
+    "pix2pix_colorization": {"data.dataset": "pix2pix_colorization",
+                             "model.input_nc": 1, "model.output_nc": 2,
+                             "optim.lr": 2e-4,  # boilerplate pix2pix default
+                             "run.name": "pix2pix-colorization"},
     # scripts/train_end2end_isic.sh: 40 labeled (32+8), 594 test, jaccard loss
     "end2end_isic": {"data.dataset": "isic", "data.n_train": 32,
                      "data.n_val": 8, "data.n_test": 594,

@@ -308,6 +308,47 @@ def rgb_to_lab_u8(rgb: np.ndarray) -> np.ndarray:
     return np.clip(np.round(lab), 0, 255).astype(np.uint8)
 
 
+def lab_to_rgb(lab01: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`rgb_to_lab_u8`'s float formula: an 8-bit-convention
+    LAB array scaled to [0,1] -> float RGB in [0,1]. Used to render
+    colorization outputs (the reference calls skimage ``color.lab2rgb`` in
+    ``models_pix2pix/colorization_model.py:48-63``)."""
+    lab = np.asarray(lab01, np.float64)
+    lum = lab[..., 0] * 100.0
+    a = lab[..., 1] * 255.0 - 128.0
+    b = lab[..., 2] * 255.0 - 128.0
+    y = np.where(lum > 903.3 * 0.008856, ((lum + 16.0) / 116.0) ** 3,
+                 lum / 903.3)
+    fy = np.where(y > 0.008856, np.cbrt(y), 7.787 * y + 16.0 / 116.0)
+    fx = fy + a / 500.0
+    fz = fy - b / 200.0
+
+    def finv(t):
+        return np.where(t ** 3 > 0.008856, t ** 3, (t - 16.0 / 116.0) / 7.787)
+
+    xyz = np.stack([finv(fx) * 0.950456, y, finv(fz) * 1.088754], axis=-1)
+    m = np.array([[0.412453, 0.357580, 0.180423],
+                  [0.212671, 0.715160, 0.072169],
+                  [0.019334, 0.119193, 0.950227]])
+    rgb = xyz @ np.linalg.inv(m).T
+    return np.clip(rgb, 0.0, 1.0)
+
+
+class Pix2PixColorizationDataset(_ImageDir):
+    """Pix2Pix colorization pairs (models_pix2pix/colorization_model.py:7-13:
+    "mapping from L channel to ab channels in Lab color space", input_nc=1 /
+    output_nc=2): condition = the L channel (1ch), target = the ab channels
+    (2ch), both in [0,1] under the 8-bit LAB convention of
+    :func:`rgb_to_lab_u8`; :func:`lab_to_rgb` renders (L, ab) for visuals."""
+
+    def __getitem__(self, index):
+        img = self.load(index)
+        lab = rgb_to_lab_u8(
+            np.clip(np.round(img * 255.0), 0, 255).astype(np.uint8)
+        ).astype(np.float32) / 255.0
+        return {"image_pix2pix": lab[..., 1:], "mask_pix2pix": lab[..., :1]}
+
+
 class LABColorizationDataset(_ImageDir):
     """custom_colorization_LAB (BBDM/datasets/custom.py:58-102): the image
     is decoded to 8-bit LAB; x0 = the LAB image, condition = the L channel

@@ -186,6 +186,15 @@ def make_dataset(name: str, root: str, mask_suffix: str = "",
             img_dir = root
         return classes[task](img_dir, image_size=image_size or 256,
                              flip=False)
+    if key == "pix2pix_colorization":
+        # ColorizationModel's dataset_mode=colorization (L -> ab pix2pix,
+        # colorization_model.py:29) — one image folder, like the BBDM families
+        from semantic_segmentation_tpu.data import extra
+        img_dir = os.path.join(root, images_sub)
+        if not os.path.isdir(img_dir):
+            img_dir = root
+        return extra.Pix2PixColorizationDataset(
+            img_dir, image_size=image_size or 256, flip=False)
     if key == "bbdm_aligned":  # custom_aligned == the generic paired layout
         return PairedImageFolder(os.path.join(root, images_sub),
                                  os.path.join(root, masks_sub),

@@ -72,9 +72,24 @@ def train(cfg: Config, n_epochs: int | None = None, train_iters: int | None = No
                 # display_freq visuals (train_pix2pix_lung.py:83-91): mask /
                 # fake / real panel saved as a PNG grid
                 fake = model.generate(state, batch["mask_pix2pix"][:1])
+                if cfg.model.output_nc == 2:
+                    # colorization visuals (colorization_model.py:46-68):
+                    # input L, ground-truth RGB, predicted RGB via lab2rgb
+                    from semantic_segmentation_tpu.data.extra import lab_to_rgb
+                    L = batch["mask_pix2pix"][0].astype(np.float32)
+                    real_rgb = lab_to_rgb(np.concatenate(
+                        [L, batch["image_pix2pix"][0]], axis=-1))
+                    fake_rgb = lab_to_rgb(np.concatenate(
+                        [L, np.clip(np.asarray(fake[0], np.float32), 0, 1)],
+                        axis=-1))
+                    panel = [np.repeat(L, 3, axis=-1),
+                             real_rgb.astype(np.float32),
+                             fake_rgb.astype(np.float32)]
+                else:
+                    panel = [batch["mask_pix2pix"][0].astype(np.float32),
+                             np.asarray(fake[0]), batch["image_pix2pix"][0]]
                 save_image_grid(
-                    [batch["mask_pix2pix"][0].astype(np.float32),
-                     np.asarray(fake[0]), batch["image_pix2pix"][0]],
+                    panel,
                     os.path.join(save_dir, "samples", f"step{step}.png"),
                     cols=3)
             if step >= max_iters:
