@@ -52,8 +52,10 @@ class ModelConfig:
     base_features: int = 64          # U-Net width (64 = reference)
     compute_dtype: str = "bfloat16"  # AMP analogue; 'float32' to disable
     # phase-packed ConvTranspose lowering (ops/conv.py): s^nd x the MXU
-    # output-lane utilization; same math to accumulation-order rounding
-    convt_packed: bool = False
+    # output-lane utilization where C_out <= 128 (shape-dispatched; see the
+    # measured A/B table in conv_transpose_nd); same math to
+    # accumulation-order rounding. Default ON since the real-v5e A/B.
+    convt_packed: bool = True
 
 
 @dataclass

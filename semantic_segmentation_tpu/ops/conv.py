@@ -68,7 +68,15 @@ def conv_transpose_nd(x, w_hwio, b=None, stride=2, torch_padding=1,
             else tuple(torch_padding))
     opads = ((output_padding,) * nsp if isinstance(output_padding, int)
              else tuple(output_padding))
-    if _PACKED_TRANSPOSE and not any(opads):
+    # Shape-dependent dispatch, from the real-v5e A/B at the unet_256
+    # generator's layer shapes (scripts/bench_convt.py, fwd and fwd+bwd):
+    # packing wins exactly where C_out underfills the 128 MXU output lanes —
+    # 3.6x/3.5x at the 128->1 outermost upconv, 1.8x/1.7x at 256->64,
+    # 1.2x/0.94x at 512->128 — and loses at the deep high-channel layers
+    # (0.83x/0.67x at C_out=256, 0.84x/0.38x at C_out=512) where the extra
+    # slice/interleave traffic outweighs nothing (lanes already full).
+    if (_PACKED_TRANSPOSE and not any(opads)
+            and w_hwio.shape[-1] <= 128):
         return conv_transpose_nd_packed(x, w_hwio, b, stride, torch_padding,
                                         compute_dtype=compute_dtype)
     return _conv_transpose_dilated(x, w_hwio, b, strides, pads, opads,
