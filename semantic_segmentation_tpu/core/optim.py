@@ -60,7 +60,13 @@ def lr_schedule(policy: str, base_lr: float, n_epochs: int, epoch_count: int = 1
     """Multiplier schedules of networks.py:44-70 (epoch-indexed)."""
     if policy == "linear":
         def mult(epoch):
-            return 1.0 - max(0, epoch + epoch_count - n_epochs) / float(n_epochs_decay + 1)
+            # torch's lambda_rule (networks.py:50-52) goes NEGATIVE past the
+            # n_epochs + n_epochs_decay horizon; the reference never runs
+            # beyond it, but our loops are iteration-bound and can — a
+            # negative lr silently turns every optimizer into gradient
+            # ASCENT (observed: loss_D -> 1e7). Clamp at 0.
+            return max(0.0, 1.0 - max(0, epoch + epoch_count - n_epochs)
+                       / float(n_epochs_decay + 1))
     elif policy == "step":
         def mult(epoch):
             return 0.1 ** (epoch // lr_decay_iters)

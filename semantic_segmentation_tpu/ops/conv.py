@@ -75,7 +75,11 @@ def conv_transpose_nd(x, w_hwio, b=None, stride=2, torch_padding=1,
     # 1.2x/0.94x at 512->128 — and loses at the deep high-channel layers
     # (0.83x/0.67x at C_out=256, 0.84x/0.38x at C_out=512) where the extra
     # slice/interleave traffic outweighs nothing (lanes already full).
+    # Geometry guard: the packed interleave always emits in*s per axis, which
+    # equals torch's (in-1)*s - 2p + k only when k - 2p == s (true for every
+    # layer family in this repo: k4p1/k6p2/k8p3 at s2, k2p0 at s2).
     if (_PACKED_TRANSPOSE and not any(opads)
+            and all(k - 2 * p == st for k, p, st in zip(ks, pads, strides))
             and w_hwio.shape[-1] <= 128):
         return conv_transpose_nd_packed(x, w_hwio, b, stride, torch_padding,
                                         compute_dtype=compute_dtype)
@@ -139,9 +143,11 @@ def conv_transpose_nd_packed(x, w_hwio, b=None, stride=2, torch_padding=1,
         ws.append(w_hwio[idx])
         offs.append(tuple((q - r) // si for q, r, si in zip(qs, ph, s)))
     # equal tap counts per phase require s | k (true for the NAS kernel
-    # table: k 4/6/8 at s2); fall back to the dilated form otherwise
+    # table: k 4/6/8 at s2), and the in*s interleaved output matches torch's
+    # size only when k - 2p == s; fall back to the dilated form otherwise
     t0 = ws[0].shape[:nsp]
-    if any(w.shape[:nsp] != t0 for w in ws):
+    if (any(w.shape[:nsp] != t0 for w in ws)
+            or any(k - 2 * p != si for k, p, si in zip(ks, pads, s))):
         return _conv_transpose_dilated(x, w_hwio, b, s, pads, (0,) * nsp,
                                        None)
     wp = jnp.concatenate(ws, axis=-1)            # (*T, Cin, s^nd * Cout)

@@ -66,7 +66,11 @@ def build(cfg: Config, bbdm: BBDMModel | None = None,
             aug = random_augment_batch(rng_a, masks)
             fm = iops.threshold_mask(aug, 0.1)
             fm_u8 = (fm * 255.0).astype(jnp.uint8)
-            fm_u8 = random_photometric(rng_p, fm_u8)
+            # per_image=True: unlike the ISIC e2e (one fake_trans call on the
+            # whole batch tensor), BBDM/train_end2end.py:240-247 applies
+            # fake_trans inside the per-sample PIL loop — independent coins
+            # per image are the parity semantics here.
+            fm_u8 = random_photometric(rng_p, fm_u8, per_image=True)
             fm_pm1 = jnp.clip(fm_u8.astype(jnp.float32) / 255.0 * 2.0 - 1.0,
                               -1.0, 1.0)
             fake = bbdm.bridge.p_sample_loop(
@@ -75,7 +79,11 @@ def build(cfg: Config, bbdm: BBDMModel | None = None,
             fake = jax.lax.stop_gradient(iops.minmax_normalize(fake))
             fake_logits, u_stats = seg.apply(u_params, u_stats, fake,
                                              train=True)
-            fake_loss = seg_loss_fn(fake_logits, fm, seg.n_classes, "jaccard")
+            # the seg target is the POST-photometric mask rescaled to [0,1]
+            # (train_end2end.py:251,256-257: fake_mask = fake_masks.detach();
+            # criterion(pred, fake_mask[:,0]/2+0.5)) — not the binary fm
+            fake_loss = seg_loss_fn(fake_logits, (fm_pm1 + 1.0) * 0.5,
+                                    seg.n_classes, "jaccard")
             loss = loss + loss_lambda * fake_loss
         return loss, {"unet": u_stats}
 

@@ -196,6 +196,28 @@ def test_conv_transpose_phase_packed_equals_dilated():
             jax.grad(lambda w: loss(conv_transpose_nd_packed, w))(w))
         np.testing.assert_allclose(ga, gc, rtol=2e-5, atol=1e-5)
 
+    # Off-family geometries (k - 2p != s): the in*s packed interleave cannot
+    # represent torch's (in-1)*s - 2p + k output; the guard must fall back to
+    # the dilated form (same values AND shape), including via the dispatcher.
+    from semantic_segmentation_tpu.ops import conv as conv_mod
+    for ws2, p2 in [((4, 4, 8, 2), 0), ((6, 6, 8, 4), 1), ((2, 2, 8, 2), 0)]:
+        x = jnp.asarray(rng.standard_normal((2, 7, 9, 8)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal(ws2) * 0.05, jnp.float32)
+        ref = np.asarray(conv_mod._conv_transpose_dilated(
+            x, w, None, (2, 2), (p2, p2), (0, 0), None))
+        got = np.asarray(conv_transpose_nd_packed(x, w, stride=2,
+                                                  torch_padding=p2))
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(ref, got, rtol=2e-5, atol=1e-6)
+        conv_mod.use_packed_transpose(True)
+        try:
+            via_dispatch = np.asarray(conv_transpose_nd(x, w, stride=2,
+                                                        torch_padding=p2))
+        finally:
+            conv_mod.use_packed_transpose(False)
+        assert via_dispatch.shape == ref.shape
+        np.testing.assert_allclose(ref, via_dispatch, rtol=2e-5, atol=1e-6)
+
 
 def test_unet_generator_packed_transpose_matches_dilated(generator_small):
     """The model.convt_packed lowering must compose with the full generator

@@ -59,6 +59,10 @@ def test_linear_schedule_constant_then_decay():
     assert s(50) == 1.0
     assert s(100) < 1.0 or s(101) < 1.0
     assert abs(s(200) - (1.0 - 101 / 101)) < 1e-9
+    # past the n_epochs + n_epochs_decay horizon torch's lambda_rule goes
+    # negative; a negative lr is gradient ASCENT — must clamp to 0
+    assert s(201) == 0.0
+    assert s(10_000) == 0.0
 
 
 def test_plateau_tracker_reduces_after_patience():
