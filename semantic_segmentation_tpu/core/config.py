@@ -162,6 +162,13 @@ PRESETS: dict[str, dict[str, Any]] = {
     # ColorizationModel (models_pix2pix/colorization_model.py): pix2pix
     # L -> ab in Lab space; dataset_mode=colorization sets input_nc=1 /
     # output_nc=2 (:12-13)
+    # scripts/train_pix2pix_isic.sh: same run at output_nc 3 on ISIC2018
+    # (the launcher's running_files/train_pix2pix.py does not exist in the
+    # reference — train_pix2pix_isic.py is the live analog)
+    "pix2pix_isic": {"optim.lr": 2e-5, "engine.train_iters": 8000,
+                     "data.dataset": "isic", "data.n_train": 80,
+                     "data.n_val": 20, "data.n_test": 0,
+                     "model.output_nc": 3, "run.name": "pix2pix-ISIC"},
     "pix2pix_colorization": {"data.dataset": "pix2pix_colorization",
                              "model.input_nc": 1, "model.output_nc": 2,
                              "optim.lr": 2e-4,  # boilerplate pix2pix default

@@ -4,10 +4,13 @@ discriminator) on the shared engine:
 
 - Generator: the Brownian-bridge training loss (``runner.loss_fn``, :221);
 - Unet: BCE + Jaccard on real pairs + ``loss_lambda`` * fake loss, where the
-  fake branch is augment(mask) -> threshold -> photometric fake_trans ->
-  [-1,1] -> 200-step diffusion SAMPLING inside the training step (:249,
-  detached like the reference, one lax.scan on device) — the reference uses
-  fake weight 0.0 (:278), kept as the ``loss_lambda`` default here;
+  fake branch is augment(mask) -> threshold>0.1 -> [-1,1] (the e2e's
+  fake_trans is ONLY ToTensor, :211-212; the fake_image photometric line is
+  commented out at :253) -> 200-step diffusion SAMPLING inside the training
+  step (:249, detached like the reference, one lax.scan on device) — the
+  reference uses fake weight 0.0 (:278), kept as the ``loss_lambda``
+  default here; ``--engine.fake_postprocess=photometric`` opts into the
+  ISIC-style chain on the mask (per-image coins), beyond parity;
 - Arch (outer): unet val loss driving the denoiser's 21-cell conv_arch via
   the darts hypergradient (:339, Adam 1e-6 wd 1e-5).
 """
@@ -23,7 +26,8 @@ import numpy as np
 from semantic_segmentation_tpu.core.checkpoint import CheckpointManager
 from semantic_segmentation_tpu.core.config import Config, parse_config
 from semantic_segmentation_tpu.core.logging_utils import MetricsLogger
-from semantic_segmentation_tpu.core.optim import adam_torch
+from semantic_segmentation_tpu.core.optim import (PlateauTracker, adam_torch,
+                                                  set_learning_rate)
 from semantic_segmentation_tpu.data.pipeline import (
     device_put_split, epoch_index_batches)
 from semantic_segmentation_tpu.engine.bilevel import BilevelEngine, InnerProblem
@@ -46,6 +50,9 @@ def build(cfg: Config, bbdm: BBDMModel | None = None,
                      compute_dtype=dtype,
                      base_features=cfg.model.base_features)
     loss_lambda = cfg.optim.loss_lambda
+    # parity default: anything but "photometric" means the reference's plain
+    # ToTensor chain (BBDM/train_end2end.py:211-212) — no mask distortion
+    fake_photometric = cfg.engine.fake_postprocess == "photometric"
 
     def loss_netG(g_params, state, arch, batch, rng):
         loss, _ = bbdm.bridge.p_losses(
@@ -65,25 +72,26 @@ def build(cfg: Config, bbdm: BBDMModel | None = None,
         if sample_in_step and loss_lambda != 0.0:
             aug = random_augment_batch(rng_a, masks)
             fm = iops.threshold_mask(aug, 0.1)
-            fm_u8 = (fm * 255.0).astype(jnp.uint8)
-            # per_image=True: unlike the ISIC e2e (one fake_trans call on the
-            # whole batch tensor), BBDM/train_end2end.py:240-247 applies
-            # fake_trans inside the per-sample PIL loop — independent coins
-            # per image are the parity semantics here.
-            fm_u8 = random_photometric(rng_p, fm_u8, per_image=True)
-            fm_pm1 = jnp.clip(fm_u8.astype(jnp.float32) / 255.0 * 2.0 - 1.0,
-                              -1.0, 1.0)
+            # BBDM/train_end2end.py:240-247: the e2e's fake_trans is ONLY
+            # ToTensor() (:211-212) — augment -> threshold>0.1 -> [0,1] ->
+            # (x-0.5)*2, NO photometric ops (the fake_image photometric line
+            # is commented out at :253). The diffusion condition and the seg
+            # target (:256-257, fake_mask[:,0]/2+0.5) are both this binary
+            # mask. `fake_postprocess=photometric` opts into the richer
+            # ISIC-style chain on the mask (per-image coins) beyond parity.
+            if fake_photometric:
+                fm_u8 = random_photometric(
+                    rng_p, (fm * 255.0).astype(jnp.uint8), per_image=True)
+                fm = fm_u8.astype(jnp.float32) / 255.0
+            fm_pm1 = fm * 2.0 - 1.0
             fake = bbdm.bridge.p_sample_loop(
                 {"unet": jax.lax.stop_gradient(state.params["netG"]),
                  "arch": jax.lax.stop_gradient(arch["conv"])}, fm_pm1, rng_s)
             fake = jax.lax.stop_gradient(iops.minmax_normalize(fake))
             fake_logits, u_stats = seg.apply(u_params, u_stats, fake,
                                              train=True)
-            # the seg target is the POST-photometric mask rescaled to [0,1]
-            # (train_end2end.py:251,256-257: fake_mask = fake_masks.detach();
-            # criterion(pred, fake_mask[:,0]/2+0.5)) — not the binary fm
-            fake_loss = seg_loss_fn(fake_logits, (fm_pm1 + 1.0) * 0.5,
-                                    seg.n_classes, "jaccard")
+            fake_loss = seg_loss_fn(fake_logits, fm, seg.n_classes,
+                                    "jaccard")
             loss = loss + loss_lambda * fake_loss
         return loss, {"unet": u_stats}
 
@@ -119,6 +127,28 @@ def init_state(cfg: Config, bbdm: BBDMModel, seg: SegProblem,
         arch={"conv": bstate.arch})
 
 
+def save_validation_panels(sample_fn, state, val_dev, it, save_dir, log,
+                           rng):
+    """The reference's 4-panel wandb logging (BBDM/train_end2end.py:259-276):
+    image / mask / fake_image (diffusion sample conditioned on the
+    thresholded mask) / fake_mask — PNG grid + wandb mirror."""
+    from semantic_segmentation_tpu.utils.visuals import save_image_grid
+    masks = jnp.asarray(val_dev["mask"][:1], jnp.float32)
+    fm = iops.threshold_mask(masks, 0.1)
+    fake = sample_fn(state.params["netG"], state.arch["conv"],
+                     fm * 2.0 - 1.0, rng)
+    image, fm, fake = jax.device_get(
+        (val_dev["image"][:1], fm, iops.minmax_normalize(fake)))
+    panels = {"show_image": np.asarray(image[0], np.float32),
+              "show_mask": np.asarray(jax.device_get(masks)[0]),
+              "show_fake_image": np.asarray(fake[0], np.float32),
+              "show_fake_mask": np.asarray(fm[0], np.float32)}
+    save_image_grid([panels["show_image"], panels["show_mask"],
+                     panels["show_fake_image"], panels["show_fake_mask"]],
+                    os.path.join(save_dir, "panels", f"it{it}.png"), cols=4)
+    log.log_images(panels, it)
+
+
 def train(cfg: Config, train_iters: int | None = None,
           bbdm: BBDMModel | None = None, sample_in_step: bool = True):
     bbdm, seg, engine = build(cfg, bbdm, sample_in_step)
@@ -140,6 +170,10 @@ def train(cfg: Config, train_iters: int | None = None,
     val_stream = epoch_index_batches(n_va, cfg.data.batch_size,
                                      seed=cfg.run.seed + 99)
     root = jax.random.key(cfg.run.seed + 5)
+    panel_sample = jax.jit(lambda g, a, cond, r: bbdm.bridge.p_sample_loop(
+        {"unet": g, "arch": a}, cond, r))
+    plateau = PlateauTracker(cfg.optim.unet_lr,
+                             patience=cfg.optim.plateau_patience)
 
     iters = train_iters or cfg.engine.train_iters
     best_val, it = 0.0, 0
@@ -166,6 +200,13 @@ def train(cfg: Config, train_iters: int | None = None,
                       force=True)
         log.log({**{k: float(v) for k, v in metrics.items()},
                  "val_score": val, "best_val": best_val}, it)
+        # ReduceLROnPlateau('max', patience=5) on the unet lr, stepped with
+        # the RUNNING BEST every 10 global steps (BBDM/train_end2end.py:192,
+        # SSEngine.validation :308-309) — applied at chunk boundaries
+        if (it // 10) != ((it - S) // 10):
+            set_learning_rate(state.opts["unet"], plateau.step(best_val))
+        save_validation_panels(panel_sample, state, val_dev, it, save_dir,
+                               log, jax.random.fold_in(root, 2 ** 30 + it))
 
     results = {"best_val": best_val}
     if splits["test"] is not None:

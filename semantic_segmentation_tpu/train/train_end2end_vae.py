@@ -19,7 +19,8 @@ import numpy as np
 from semantic_segmentation_tpu.core.checkpoint import CheckpointManager
 from semantic_segmentation_tpu.core.config import Config, parse_config
 from semantic_segmentation_tpu.core.logging_utils import MetricsLogger
-from semantic_segmentation_tpu.core.optim import adam_torch
+from semantic_segmentation_tpu.core.optim import (PlateauTracker, adam_torch,
+                                                  set_learning_rate)
 from semantic_segmentation_tpu.data.pipeline import (
     device_put_split, epoch_index_batches)
 from semantic_segmentation_tpu.engine.bilevel import BilevelEngine, InnerProblem
@@ -29,6 +30,7 @@ from semantic_segmentation_tpu.models.vae.sivae import (SoftIntroVAE, calc_kl,
                                                         reparameterize)
 from semantic_segmentation_tpu.ops import image as iops
 from semantic_segmentation_tpu.ops.augment import random_augment_batch
+from semantic_segmentation_tpu.ops.photometric import random_photometric
 from semantic_segmentation_tpu.train.common import load_splits
 from semantic_segmentation_tpu.train.train_end2end import evaluate_seg
 from semantic_segmentation_tpu.train.train_vae import SIVAEParams
@@ -81,7 +83,7 @@ def build(cfg: Config, model: SoftIntroVAE | None = None,
         return elbo(enc_params, state.params["netG"], state, arch, batch, rng)
 
     def loss_unet(u_params, state, arch, batch, rng):
-        rng_a, rng_z = jax.random.split(rng)
+        rng_a, rng_z, rng_p = jax.random.split(rng, 3)
         images = batch["image"].astype(jnp.float32)
         masks = batch["mask"].astype(jnp.float32)
         logits, u_stats = seg.apply(u_params, state.stats["unet"], images,
@@ -95,6 +97,12 @@ def build(cfg: Config, model: SoftIntroVAE | None = None,
             {"params": state.params["netG"],
              "batch_stats": state.stats["netG"]}, _to3(fm), z, train=True)
         fake = jax.lax.stop_gradient(iops.minmax_normalize(fake))
+        # fake_trans photometric chain on the batched uint8 fake image
+        # (Soft-intro_VAE/train_end2end.py:182-188, applied :278) — the
+        # reference applies it unconditionally, ONE call on the whole batch
+        # tensor, so batch-level coins are the parity semantics
+        fake = random_photometric(
+            rng_p, iops.to_uint8(fake)).astype(jnp.float32) / 255.0
         if cfg.model.output_nc == 1:
             fake = jnp.mean(fake, axis=-1, keepdims=True)
         fake_logits, u_stats = seg.apply(u_params, u_stats, fake, train=True)
@@ -157,6 +165,15 @@ def train(cfg: Config, train_iters: int | None = None,
                                      seed=cfg.run.seed + 99)
     root = jax.random.key(cfg.run.seed + 5)
 
+    def _panel_fake(g_params, g_stats, fm, z):
+        fake, _ = model.decode({"params": g_params, "batch_stats": g_stats},
+                               _to3(fm), z, train=False)
+        return iops.minmax_normalize(fake)
+
+    panel_fake = jax.jit(_panel_fake)
+    plateau = PlateauTracker(cfg.optim.unet_lr,
+                             patience=cfg.optim.plateau_patience)
+
     iters = train_iters or cfg.engine.train_iters
     best_val, it = 0.0, 0
     while it < iters:
@@ -180,6 +197,31 @@ def train(cfg: Config, train_iters: int | None = None,
                       force=True)
         log.log({**{k: float(v_) for k, v_ in metrics.items()},
                  "val_score": val, "best_val": best_val}, it)
+        # ReduceLROnPlateau('max', patience=5) on the unet lr, stepped with
+        # the RUNNING BEST every len(train_set) global steps
+        # (Soft-intro_VAE/train_end2end.py:141, :332-333) — chunk boundaries
+        if (it // max(n_tr, 1)) != ((it - S) // max(n_tr, 1)):
+            set_learning_rate(state.opts["unet"], plateau.step(best_val))
+        # 4-panel wandb logging (Soft-intro_VAE/train_end2end.py:286-303):
+        # image / mask / fake_image (decode(thresholded mask, z)) / fake_mask
+        from semantic_segmentation_tpu.utils.visuals import save_image_grid
+        pm = jnp.asarray(val_dev["mask"][:1], jnp.float32)
+        fm = iops.threshold_mask(pm, 0.1)
+        z = jax.random.normal(jax.random.fold_in(root, 2 ** 30 + it),
+                              (1, model.latent_dim))
+        fake = panel_fake(state.params["netG"], state.stats["netG"], fm, z)
+        image, pm, fm, fake = jax.device_get(
+            (val_dev["image"][:1], pm, fm, fake))
+        panels = {"show_image": np.asarray(image[0], np.float32),
+                  "show_mask": np.asarray(pm[0]),
+                  "show_fake_image": np.asarray(fake[0], np.float32),
+                  "show_fake_mask": np.asarray(fm[0], np.float32)}
+        save_image_grid([panels[k] for k in ("show_image", "show_mask",
+                                             "show_fake_image",
+                                             "show_fake_mask")],
+                        os.path.join(save_dir, "panels", f"it{it}.png"),
+                        cols=4)
+        log.log_images(panels, it)
 
     results = {"best_val": best_val}
     if splits["test"] is not None:

@@ -37,7 +37,12 @@ def save_image_grid(arrs, path: str, cols: int = 4):
     ims = [tensor2im(a) for a in arrs]
     h, w = ims[0].shape[:2]
     rows = (len(ims) + cols - 1) // cols
-    mode_rgb = ims[0].ndim == 3
+    # mixed gray/RGB panels (e.g. 1-ch mask next to a 3-ch fake): promote
+    # everything to RGB rather than crash on the broadcast
+    mode_rgb = any(im.ndim == 3 for im in ims)
+    if mode_rgb:
+        ims = [np.repeat(im[..., None], 3, -1) if im.ndim == 2 else im
+               for im in ims]
     grid = np.zeros((rows * h, cols * w) + ((3,) if mode_rgb else ()),
                     np.uint8)
     for i, im in enumerate(ims):
