@@ -135,6 +135,39 @@ def test_end2end_3d_smoke(tmp_path):
     assert int(state.step) == 2
 
 
+def test_pix2pix_3d_pretrain_smoke(tmp_path):
+    """Stage-1 3D pix2pix pretrain (GenSeg-3D/train.py analog) + the
+    test.py/ExcelEvaluate generation-metrics CSV — end to end on tiny
+    synthetic volumes."""
+    import os
+
+    from semantic_segmentation_tpu.train.train_pix2pix_3d import (
+        evaluate_generation, train)
+    cfg = __import__("semantic_segmentation_tpu.core.config",
+                     fromlist=["parse_config"]).parse_config([])
+    cfg.data.synthetic = True
+    cfg.data.n_train = 2
+    cfg.data.n_val = 1
+    cfg.data.n_test = 1
+    cfg.data.batch_size = 2
+    cfg.model.compute_dtype = "float32"
+    cfg.model.ngf = 4
+    cfg.model.ndf = 4
+    cfg.run.save_dir = str(tmp_path)
+    cfg.run.name = "p2p3d"
+    model, state = train(cfg, train_iters=2, crop=16, num_downs=3)
+    assert os.path.exists(os.path.join(str(tmp_path), "p2p3d",
+                                       "pix2pix3d_generator.msgpack"))
+    from semantic_segmentation_tpu.train.train_end2end_3d import (
+        load_volume_splits)
+    csv_path = os.path.join(str(tmp_path), "p2p3d", "gen_metrics.csv")
+    rows = evaluate_generation(model, state,
+                               load_volume_splits(cfg, 16)["test"], 1,
+                               csv_path)
+    assert os.path.exists(csv_path) and len(rows) == 1
+    assert all(np.isfinite(v) for v in rows[0].values())
+
+
 def test_3d_generator_losses_match_torch(rng_np):
     """Masked-L1(sum)/|mask| * lambda + tumor-MSE(sum)/|truth| * gamma with
     the zero_division guard (GenSeg-3D/train_end2end.py:145-161,
