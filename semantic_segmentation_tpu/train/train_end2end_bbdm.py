@@ -134,11 +134,9 @@ def save_validation_panels(sample_fn, state, val_dev, it, save_dir, log,
     thresholded mask) / fake_mask — PNG grid + wandb mirror."""
     from semantic_segmentation_tpu.utils.visuals import save_image_grid
     masks = jnp.asarray(val_dev["mask"][:1], jnp.float32)
-    fm = iops.threshold_mask(masks, 0.1)
-    fake = sample_fn(state.params["netG"], state.arch["conv"],
-                     fm * 2.0 - 1.0, rng)
-    image, fm, fake = jax.device_get(
-        (val_dev["image"][:1], fm, iops.minmax_normalize(fake)))
+    fm, fake = sample_fn(state.params["netG"], state.arch["conv"], masks,
+                         rng)
+    image, fm, fake = jax.device_get((val_dev["image"][:1], fm, fake))
     panels = {"show_image": np.asarray(image[0], np.float32),
               "show_mask": np.asarray(jax.device_get(masks)[0]),
               "show_fake_image": np.asarray(fake[0], np.float32),
@@ -170,8 +168,13 @@ def train(cfg: Config, train_iters: int | None = None,
     val_stream = epoch_index_batches(n_va, cfg.data.batch_size,
                                      seed=cfg.run.seed + 99)
     root = jax.random.key(cfg.run.seed + 5)
-    panel_sample = jax.jit(lambda g, a, cond, r: bbdm.bridge.p_sample_loop(
-        {"unet": g, "arch": a}, cond, r))
+    @jax.jit
+    def panel_sample(g, a, masks, r):
+        # one dispatch per panel: threshold -> sample -> minmax, all on device
+        fm = iops.threshold_mask(masks, 0.1)
+        fake = bbdm.bridge.p_sample_loop({"unet": g, "arch": a},
+                                         fm * 2.0 - 1.0, r)
+        return fm, iops.minmax_normalize(fake)
     plateau = PlateauTracker(cfg.optim.unet_lr,
                              patience=cfg.optim.plateau_patience)
 

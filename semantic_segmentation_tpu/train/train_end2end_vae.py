@@ -165,10 +165,13 @@ def train(cfg: Config, train_iters: int | None = None,
                                      seed=cfg.run.seed + 99)
     root = jax.random.key(cfg.run.seed + 5)
 
-    def _panel_fake(g_params, g_stats, fm, z):
+    def _panel_fake(g_params, g_stats, masks, key):
+        # one dispatch per panel: threshold -> decode -> minmax on device
+        fm = iops.threshold_mask(masks, 0.1)
+        z = jax.random.normal(key, (masks.shape[0], model.latent_dim))
         fake, _ = model.decode({"params": g_params, "batch_stats": g_stats},
                                _to3(fm), z, train=False)
-        return iops.minmax_normalize(fake)
+        return fm, iops.minmax_normalize(fake)
 
     panel_fake = jax.jit(_panel_fake)
     plateau = PlateauTracker(cfg.optim.unet_lr,
@@ -206,10 +209,8 @@ def train(cfg: Config, train_iters: int | None = None,
         # image / mask / fake_image (decode(thresholded mask, z)) / fake_mask
         from semantic_segmentation_tpu.utils.visuals import save_image_grid
         pm = jnp.asarray(val_dev["mask"][:1], jnp.float32)
-        fm = iops.threshold_mask(pm, 0.1)
-        z = jax.random.normal(jax.random.fold_in(root, 2 ** 30 + it),
-                              (1, model.latent_dim))
-        fake = panel_fake(state.params["netG"], state.stats["netG"], fm, z)
+        fm, fake = panel_fake(state.params["netG"], state.stats["netG"], pm,
+                              jax.random.fold_in(root, 2 ** 30 + it))
         image, pm, fm, fake = jax.device_get(
             (val_dev["image"][:1], pm, fm, fake))
         panels = {"show_image": np.asarray(image[0], np.float32),
