@@ -115,6 +115,9 @@ class RunConfig:
     log_every: int = 10
     save_every: int = 0              # 0 = only best-val
     topk_checkpoints: int = 3        # BBDM top-k-by-val-loss retention
+    sample_only: bool = False        # BBDM main.py WITHOUT -t: restore the
+                                     # latest checkpoint, sample_to_eval +
+                                     # diversity/FID/LPIPS scoring, no train
     wandb: bool = False
     wandb_project: str = "end2end-JSRT"
     profile_dir: str = ""            # jax.profiler trace dir ('' = off)

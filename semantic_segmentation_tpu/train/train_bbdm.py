@@ -329,12 +329,59 @@ def evaluate_samples(samples: np.ndarray, reals: np.ndarray,
     return out
 
 
+def sample_eval(cfg: Config, model: BBDMModel | None = None,
+                n_per_cond: int = 1):
+    """The ``BBDM/main.py`` run WITHOUT ``-t`` (sample_to_eval, main.py:106-
+    126 → BBDMRunner.sample_to_eval): restore the latest checkpoint of
+    ``run.save_dir/run.name``, sample per condition over the test (or val)
+    split, save condition/sample/real grids, and score diversity
+    (``evaluate_samples`` also scores FID/LPIPS when given ported extractor
+    params — see ``utils.torch_port.port_inception_v3/port_alexnet_lpips``)."""
+    model = model or BBDMModel(channels=cfg.model.output_nc,
+                               compute_dtype=jnp.bfloat16
+                               if cfg.model.compute_dtype == "bfloat16"
+                               else jnp.float32)
+    state = model.init(jax.random.key(cfg.run.seed), cfg.data.image_size)
+    save_dir = os.path.join(cfg.run.save_dir, cfg.run.name)
+    ckpt = CheckpointManager(os.path.join(save_dir, "ckpt"), max_to_keep=1,
+                             best_key=None)
+    # template must match what train() checkpoints (state + host trajectory)
+    plateau_t = PlateauTracker(model.lr, patience=3000, factor=0.5,
+                               threshold=1e-4, min_lr=5e-7, mode="min",
+                               cooldown=3000)
+    host_t = {"best_val": np.asarray(0.0, np.float64),
+              "epoch": np.asarray(0, np.int64),
+              "it": np.asarray(0, np.int64),
+              "epoch_pos": np.asarray(0, np.int64),
+              "plateau": {k: np.asarray(v, np.float64)
+                          for k, v in plateau_t.state_dict().items()}}
+    restored, rstep = ckpt.restore({"state": jax.device_get(state),
+                                    "host": host_t})
+    if restored is not None:
+        state = restored["state"]
+    splits = load_splits(cfg)
+    data = splits["test"] if splits.get("test") is not None else splits["val"]
+    out_dir = os.path.join(save_dir, "sample_to_eval")
+    samples, reals = sample_to_eval(model, state, data, cfg.data.batch_size,
+                                    out_dir, n_per_cond=n_per_cond)
+    results = evaluate_samples(samples, reals)
+    log = MetricsLogger(save_dir)
+    log.log({f"sample_eval/{k}": float(v) for k, v in results.items()},
+            int(rstep or 0))
+    log.info("sample_to_eval: %s", results)
+    log.close()
+    return samples, results
+
+
 def main():
     cfg = parse_config()
     cfg.run.name = cfg.run.name or "bbdm"
     from semantic_segmentation_tpu.parallel.mesh import maybe_init_distributed
     maybe_init_distributed(cfg)
-    train(cfg)
+    if cfg.run.sample_only:
+        sample_eval(cfg)
+    else:
+        train(cfg)
 
 
 if __name__ == "__main__":
