@@ -113,7 +113,15 @@ def save_model(state, save_dir: str):
 
 
 def load_model(state, save_dir: str):
-    """pix2pix_model.py:174-178 load_model equivalent."""
+    """pix2pix_model.py:174-178 load_model equivalent. ``save_dir`` may also
+    point at a directory holding the REFERENCE's torch checkpoints
+    (``pix2pix_generator.pkl`` / ``pix2pix_discriminator.pkl``) — they are
+    ported on the fly (utils/torch_port.port_pix2pix_*), so a reference
+    user's stage-1 artifacts plug straight into ``--run.pretrained_pix2pix``."""
+    g_pkl = os.path.join(save_dir, "pix2pix_generator.pkl")
+    if os.path.exists(g_pkl) and not os.path.exists(
+            os.path.join(save_dir, "pix2pix_generator.msgpack")):
+        return _load_torch_pkl(state, save_dir)
     g = load_pytree({"g_params": state.g_params, "g_stats": state.g_stats,
                      "arch": state.arch},
                     os.path.join(save_dir, "pix2pix_generator.msgpack"))
@@ -122,6 +130,29 @@ def load_model(state, save_dir: str):
     return state.replace(g_params=g["g_params"], g_stats=g["g_stats"],
                          arch=g["arch"], d_params=d["d_params"],
                          d_stats=d["d_stats"])
+
+
+def _load_torch_pkl(state, save_dir: str):
+    """Port reference ``.pkl`` torch checkpoints into the state. The
+    reference saves the NETWORK state_dicts only (pix2pix_model.py:168-173);
+    arch variables keep their current initialization (the reference's arch
+    lives in module-level globals, networks.py:476-484, and is NOT in the
+    .pkl)."""
+    import jax.numpy as jnp
+
+    from semantic_segmentation_tpu.utils.torch_port import (
+        load_state_dict, port_pix2pix_discriminator, port_pix2pix_generator)
+    num_downs = max(int(k[4:]) for k in state.g_params
+                    if k.startswith("down") and k[4:].isdigit()) + 1
+    gp, gs = port_pix2pix_generator(
+        load_state_dict(os.path.join(save_dir, "pix2pix_generator.pkl")),
+        num_downs=num_downs)
+    dp, ds = port_pix2pix_discriminator(
+        load_state_dict(os.path.join(save_dir, "pix2pix_discriminator.pkl")))
+    as_f32 = lambda t: jax.tree.map(  # noqa: E731
+        lambda x: jnp.asarray(x, jnp.float32), t)
+    return state.replace(g_params=as_f32(gp), g_stats=as_f32(gs),
+                         d_params=as_f32(dp), d_stats=as_f32(ds))
 
 
 def main():

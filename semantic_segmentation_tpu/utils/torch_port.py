@@ -359,3 +359,87 @@ def port_deeplabv2(sd: dict, layers=(3, 4, 23)):
             "kernel": convert_conv(sd[f"classifier.conv2d_list.{i}.weight"]),
             "bias": sd[f"classifier.conv2d_list.{i}.bias"]}
     return ({"backbone": bb_p, "classifier": cls_p}, {"backbone": bb_s})
+
+
+def _strip_module(sd: dict) -> dict:
+    """save_model checkpoints the DataParallel wrapper (pix2pix_model.py:
+    168-173 + init_net's DataParallel at networks.py:120), so saved keys
+    carry a leading ``module.``."""
+    if any(k.startswith("module.") for k in sd):
+        return {k[len("module."):] if k.startswith("module.") else k: v
+                for k, v in sd.items()}
+    return sd
+
+
+def port_pix2pix_generator(sd: dict, num_downs: int = 8):
+    """Reference ``UnetGenerator`` (unet_256) state_dict ->
+    (params, batch_stats) for ``models.pix2pix.networks.UnetGenerator``.
+
+    The torch module tree is the recursive UnetSkipConnectionBlock
+    (networks.py:553-617): each block is one nn.Sequential named ``model``
+    whose indices depend on the block kind —
+      outermost : 0=downconv 1=submodule 2=uprelu 3=Cell_upconv 4=Tanh
+      middle    : 0=lrelu 1=downconv 2=downnorm 3=submodule 4=uprelu
+                  5=Cell_upconv 6=upnorm (7=Dropout when used)
+      innermost : 0=lrelu 1=downconv 2=uprelu 3=Cell_upconv 4=upnorm
+    and each Cell_upconv holds its three ConvTranspose2d candidates at
+    ``._ops._ops.{i}.op`` in PRIMITIVES_upconv order k=4,6,8
+    (architecture_pix2pix/operations.py:4-40). Depth d here = nesting depth
+    (d=0 outermost), matching our ``down{d}``/``up{d}``/``*_bn{d}`` names.
+    """
+    sd = _strip_module(sd)
+    params: dict = {}
+    stats: dict = {}
+    base = "model.model."
+    for d in range(num_downs):
+        outermost, innermost = d == 0, d == num_downs - 1
+        if outermost:
+            down_i, up_i, norm_d, norm_u, sub_i = 0, 3, None, None, 1
+        elif innermost:
+            down_i, up_i, norm_d, norm_u, sub_i = 1, 3, None, 4, None
+        else:
+            down_i, up_i, norm_d, norm_u, sub_i = 1, 5, 2, 6, 3
+        dk = f"{base}{down_i}"
+        p = {"kernel": convert_conv(sd[f"{dk}.weight"])}
+        if f"{dk}.bias" in sd:
+            p["bias"] = sd[f"{dk}.bias"]
+        params[f"down{d}"] = p
+        if norm_d is not None:
+            bp, bs = port_batchnorm(sd, f"{base}{norm_d}")
+            params[f"down_bn{d}"], stats[f"down_bn{d}"] = bp, bs
+        up: dict = {}
+        for i, k in enumerate((4, 6, 8)):
+            ok = f"{base}{up_i}._ops._ops.{i}.op"
+            up[f"kernel_{k}"] = convert_conv_transpose(sd[f"{ok}.weight"])
+            if f"{ok}.bias" in sd:
+                up[f"bias_{k}"] = sd[f"{ok}.bias"]
+        params[f"up{d}"] = up
+        if norm_u is not None:
+            bp, bs = port_batchnorm(sd, f"{base}{norm_u}")
+            params[f"up_bn{d}"], stats[f"up_bn{d}"] = bp, bs
+        if sub_i is not None:
+            base = f"{base}{sub_i}.model."
+    return params, stats
+
+
+def port_pix2pix_discriminator(sd: dict, n_layers: int = 3):
+    """Reference ``NLayerDiscriminator`` state_dict -> (params, batch_stats)
+    for ``models.pix2pix.networks.NLayerDiscriminator`` (flat Sequential,
+    networks.py:620-665: conv0 at 0, then [conv, norm, lrelu] triplets, head
+    last)."""
+    sd = _strip_module(sd)
+    params = {"conv0": {"kernel": convert_conv(sd["model.0.weight"]),
+                        "bias": sd["model.0.bias"]}}
+    stats: dict = {}
+    idx = 2
+    for n in range(1, n_layers + 1):
+        p = {"kernel": convert_conv(sd[f"model.{idx}.weight"])}
+        if f"model.{idx}.bias" in sd:
+            p["bias"] = sd[f"model.{idx}.bias"]
+        params[f"conv{n}"] = p
+        bp, bs = port_batchnorm(sd, f"model.{idx + 1}")
+        params[f"bn{n}"], stats[f"bn{n}"] = bp, bs
+        idx += 3
+    params["head"] = {"kernel": convert_conv(sd[f"model.{idx}.weight"]),
+                      "bias": sd[f"model.{idx}.bias"]}
+    return params, stats
