@@ -118,6 +118,10 @@ class RunConfig:
     sample_only: bool = False        # BBDM main.py WITHOUT -t: restore the
                                      # latest checkpoint, sample_to_eval +
                                      # diversity/FID/LPIPS scoring, no train
+    model_file: str = ""             # test_seg: explicit checkpoint file
+                                     # (--model_dir analogue, test_lung.py:67);
+                                     # .msgpack, or a torch .pkl/.pth ported
+                                     # on the fly
     wandb: bool = False
     wandb_project: str = "end2end-JSRT"
     profile_dir: str = ""            # jax.profiler trace dir ('' = off)

@@ -35,9 +35,21 @@ def run(cfg: Config, model_file: str = ""):
     state = problem.init(jax.random.key(0), cfg.data.image_size)
     save_dir = os.path.join(cfg.run.save_dir, cfg.run.name)
     if model_file:
-        loaded = load_pytree({"params": state.params, "stats": state.stats},
-                             model_file)
-        state = state.replace(params=loaded["params"], stats=loaded["stats"])
+        if model_file.endswith((".pkl", ".pth", ".pt")):
+            # a reference-trained torch UNet state_dict (test_lung.py:67
+            # loads opt.model_dir) — port on the fly so a switcher can
+            # evaluate their existing checkpoint here
+            from semantic_segmentation_tpu.utils.torch_port import (
+                load_state_dict, port_unet_milesial)
+            p, s = port_unet_milesial(load_state_dict(model_file))
+            as_f32 = lambda t: jax.tree.map(  # noqa: E731
+                lambda x: jnp.asarray(x, jnp.float32), t)
+            state = state.replace(params=as_f32(p), stats=as_f32(s))
+        else:
+            loaded = load_pytree({"params": state.params,
+                                  "stats": state.stats}, model_file)
+            state = state.replace(params=loaded["params"],
+                                  stats=loaded["stats"])
     else:
         # best checkpoint from the orbax manager (engine or supervised runs)
         mgr = CheckpointManager(os.path.join(save_dir, "ckpt"))
@@ -73,7 +85,7 @@ def run(cfg: Config, model_file: str = ""):
 
 def main():
     cfg = parse_config()
-    run(cfg)
+    run(cfg, model_file=cfg.run.model_file)
 
 
 if __name__ == "__main__":

@@ -221,3 +221,31 @@ def test_reference_pkl_plugs_into_pretrained_pix2pix(tmp_path):
         ft = tG(torch.tensor(np.transpose(mask, (0, 3, 1, 2))))
     np.testing.assert_allclose(np.asarray(fake)[..., 0], ft.numpy()[:, 0],
                                rtol=1e-4, atol=2e-5)
+
+
+def test_reference_unet_pkl_evaluates_through_test_seg(tmp_path):
+    """test_lung.py:67 analog: a reference-trained torch UNet state_dict
+    (.pkl) evaluates directly via --run.model_file (ported on the fly)."""
+    import os
+
+    from semantic_segmentation_tpu.core.config import parse_config
+    from semantic_segmentation_tpu.train.test_seg import run
+    from tests.torch_oracles import TorchMilesialUNet
+
+    tunet = TorchMilesialUNet(1, 1, f=8)
+    pkl = os.path.join(str(tmp_path), "unet_jsrt.pkl")
+    torch.save(tunet.state_dict(), pkl)
+
+    cfg = parse_config([])
+    cfg.data.synthetic = True
+    cfg.data.image_size = 32
+    cfg.data.n_train = 2
+    cfg.data.n_val = 2
+    cfg.data.n_test = 2
+    cfg.data.batch_size = 2
+    cfg.model.compute_dtype = "float32"
+    cfg.model.base_features = 8
+    cfg.run.save_dir = str(tmp_path)
+    cfg.run.name = "tseg"
+    results = run(cfg, model_file=pkl)
+    assert np.isfinite(results["test_dice"])
