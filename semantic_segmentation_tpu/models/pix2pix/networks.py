@@ -42,7 +42,16 @@ def _bn_scale_init(key, shape, dtype=jnp.float32):
     return 1.0 + _BN_SCALE_INIT(key, shape, dtype)
 
 
-def _bn(train: bool, dtype, name: str):
+def _norm(norm: str, train: bool, dtype, name: str):
+    """get_norm_layer (networks.py:23-41): 'batch' = BatchNorm2d(affine,
+    running stats); 'instance' = InstanceNorm2d(affine=False,
+    track_running_stats=False) — per-sample spatial stats, no params;
+    'none' = identity."""
+    if norm == "instance":
+        return nn.InstanceNorm(use_scale=False, use_bias=False, epsilon=1e-5,
+                               dtype=dtype, name=name)
+    if norm == "none":
+        return lambda x: x
     return nn.BatchNorm(use_running_average=not train, momentum=0.9,
                         epsilon=1e-5, dtype=dtype, scale_init=_bn_scale_init,
                         name=name)
@@ -77,7 +86,7 @@ class UnetGenerator(nn.Module):
                         use_bias=use_bias, kernel_init=_INIT, dtype=self.dtype,
                         name=f"down{d}")(h)
             if 0 < d < nd - 1:
-                h = _bn(train, self.dtype, f"down_bn{d}")(h)
+                h = _norm(self.norm, train, self.dtype, f"down_bn{d}")(h)
             if d < nd - 1:
                 h = block(h, d + 1)
             h = nn.relu(h)
@@ -91,7 +100,7 @@ class UnetGenerator(nn.Module):
                                                   compute_dtype=self.dtype)
             if d == 0:
                 return jnp.tanh(h.astype(jnp.float32))
-            h = _bn(train, self.dtype, f"up_bn{d}")(h)
+            h = _norm(self.norm, train, self.dtype, f"up_bn{d}")(h)
             if self.use_dropout and 4 <= d <= nd - 2:
                 # the nd-5 intermediate ngf*8 blocks (networks.py:535-537, 607)
                 h = nn.Dropout(0.5, deterministic=not train,
@@ -106,6 +115,7 @@ class ResnetBlock(nn.Module):
     dim: int
     use_dropout: bool = False
     use_bias: bool = False
+    norm: str = "batch"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -113,14 +123,14 @@ class ResnetBlock(nn.Module):
         h = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)], mode="reflect")
         h = nn.Conv(self.dim, (3, 3), padding=0, use_bias=self.use_bias,
                     kernel_init=_INIT, dtype=self.dtype, name="conv0")(h)
-        h = _bn(train, self.dtype, "bn0")(h)
+        h = _norm(self.norm, train, self.dtype, "bn0")(h)
         h = nn.relu(h)
         if self.use_dropout:
             h = nn.Dropout(0.5, deterministic=not train)(h)
         h = jnp.pad(h, [(0, 0), (1, 1), (1, 1), (0, 0)], mode="reflect")
         h = nn.Conv(self.dim, (3, 3), padding=0, use_bias=self.use_bias,
                     kernel_init=_INIT, dtype=self.dtype, name="conv1")(h)
-        h = _bn(train, self.dtype, "bn1")(h)
+        h = _norm(self.norm, train, self.dtype, "bn1")(h)
         return x + h.astype(x.dtype)
 
 
@@ -142,18 +152,19 @@ class ResnetGenerator(nn.Module):
         h = jnp.pad(x, [(0, 0), (3, 3), (3, 3), (0, 0)], mode="reflect")
         h = nn.Conv(ngf, (7, 7), padding=0, use_bias=use_bias,
                     kernel_init=_INIT, dtype=self.dtype, name="stem")(h)
-        h = _bn(train, self.dtype, "stem_bn")(h)
+        h = _norm(self.norm, train, self.dtype, "stem_bn")(h)
         h = nn.relu(h)
         for i in range(2):
             mult = 2 ** i
             h = nn.Conv(ngf * mult * 2, (3, 3), strides=2, padding=1,
                         use_bias=use_bias, kernel_init=_INIT,
                         dtype=self.dtype, name=f"down{i}")(h)
-            h = _bn(train, self.dtype, f"down_bn{i}")(h)
+            h = _norm(self.norm, train, self.dtype, f"down_bn{i}")(h)
             h = nn.relu(h)
         for i in range(self.n_blocks):
             h = ResnetBlock(ngf * 4, self.use_dropout, use_bias,
-                            dtype=self.dtype, name=f"res{i}")(h, train)
+                            norm=self.norm, dtype=self.dtype,
+                            name=f"res{i}")(h, train)
         for i in range(2):
             mult = 2 ** (2 - i)
             # torch ConvTranspose2d(k3, s2, p1, output_padding=1):
@@ -164,7 +175,7 @@ class ResnetGenerator(nn.Module):
                                    use_bias=use_bias, kernel_init=_INIT,
                                    dtype=self.dtype,
                                    name=f"up{i}")(h)
-            h = _bn(train, self.dtype, f"up_bn{i}")(h)
+            h = _norm(self.norm, train, self.dtype, f"up_bn{i}")(h)
             h = nn.relu(h)
         h = jnp.pad(h, [(0, 0), (3, 3), (3, 3), (0, 0)], mode="reflect")
         h = nn.Conv(self.output_nc, (7, 7), padding=0, kernel_init=_INIT,
@@ -193,13 +204,13 @@ class NLayerDiscriminator(nn.Module):
             h = nn.Conv(self.ndf * nf_mult, (4, 4), strides=2, padding=1,
                         use_bias=use_bias, kernel_init=_INIT,
                         dtype=self.dtype, name=f"conv{n}")(h)
-            h = _bn(train, self.dtype, f"bn{n}")(h)
+            h = _norm(self.norm, train, self.dtype, f"bn{n}")(h)
             h = nn.leaky_relu(h, 0.2)
         nf_mult = min(2 ** self.n_layers, 8)
         h = nn.Conv(self.ndf * nf_mult, (4, 4), strides=1, padding=1,
                     use_bias=use_bias, kernel_init=_INIT, dtype=self.dtype,
                     name=f"conv{self.n_layers}")(h)
-        h = _bn(train, self.dtype, f"bn{self.n_layers}")(h)
+        h = _norm(self.norm, train, self.dtype, f"bn{self.n_layers}")(h)
         h = nn.leaky_relu(h, 0.2)
         h = nn.Conv(1, (4, 4), strides=1, padding=1, kernel_init=_INIT,
                     dtype=self.dtype, name="head")(h)
@@ -221,7 +232,7 @@ class PixelDiscriminator(nn.Module):
         h = nn.leaky_relu(h, 0.2)
         h = nn.Conv(self.ndf * 2, (1, 1), use_bias=use_bias, kernel_init=_INIT,
                     dtype=self.dtype, name="conv1")(h)
-        h = _bn(train, self.dtype, "bn1")(h)
+        h = _norm(self.norm, train, self.dtype, "bn1")(h)
         h = nn.leaky_relu(h, 0.2)
         h = nn.Conv(1, (1, 1), use_bias=use_bias, kernel_init=_INIT,
                     dtype=self.dtype, name="head")(h)

@@ -249,3 +249,45 @@ def test_reference_unet_pkl_evaluates_through_test_seg(tmp_path):
     cfg.run.name = "tseg"
     results = run(cfg, model_file=pkl)
     assert np.isfinite(results["test_dice"])
+
+
+def test_instance_norm_patchgan_matches_torch():
+    """--norm instance (get_norm_layer, networks.py:23-41): InstanceNorm2d
+    (affine=False, no running stats) + biased convs. Our _norm must actually
+    dispatch to instance normalization, not silently stay BatchNorm."""
+    ndf, n_layers = 8, 3
+    ours = NLayerDiscriminator(ndf=ndf, n_layers=n_layers, norm="instance",
+                               dtype=jnp.float32)
+    rng = np.random.default_rng(17)
+    x = rng.standard_normal((2, 32, 32, 2)).astype(np.float32)
+    variables = ours.init(jax.random.key(0), jnp.asarray(x), train=False)
+    params = variables["params"]
+    assert "bn1" not in params  # instance norm is parameter-free
+
+    from tests.torch_oracles import conv_to_torch
+    convs = [nn.Conv2d(2, ndf, 4, 2, 1)]
+    nf_prev = 1
+    norms = []
+    for n in range(1, n_layers + 1):
+        nf = min(2 ** n, 8)
+        convs.append(nn.Conv2d(ndf * nf_prev, ndf * nf, 4,
+                               2 if n < n_layers else 1, 1, bias=True))
+        norms.append(nn.InstanceNorm2d(ndf * nf, affine=False))
+        nf_prev = nf
+    head = nn.Conv2d(ndf * nf_prev, 1, 4, 1, 1)
+    for i, c in enumerate(convs):
+        p = params[f"conv{i}"]
+        c.weight.data = conv_to_torch(np.asarray(p["kernel"]))
+        c.bias.data = torch.tensor(np.asarray(p["bias"]))
+    head.weight.data = conv_to_torch(np.asarray(params["head"]["kernel"]))
+    head.bias.data = torch.tensor(np.asarray(params["head"]["bias"]))
+
+    h = torch.tensor(np.transpose(x, (0, 3, 1, 2)))
+    with torch.no_grad():
+        h = torch.nn.functional.leaky_relu(convs[0](h), 0.2)
+        for c, nrm in zip(convs[1:], norms):
+            h = torch.nn.functional.leaky_relu(nrm(c(h)), 0.2)
+        yt = head(h)
+    y = ours.apply(variables, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(y)[..., 0], yt.numpy()[:, 0],
+                               rtol=2e-4, atol=2e-5)
