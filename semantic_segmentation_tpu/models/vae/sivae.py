@@ -26,6 +26,20 @@ import jax.numpy as jnp
 from semantic_segmentation_tpu.ops.nas import KERNEL_SIZES_S1, MixedConv, arch_softmax
 
 
+def _norm(norm, train, dtype, name):
+    """Utilities.get_norm_layer (:195-207): 'batch' = BatchNorm2d(affine,
+    running stats); 'instance' = InstanceNorm2d(affine=False,
+    track_running_stats=False) — parameter-free per-sample spatial stats.
+    The SIVAE config builds the decoder with norm='instance'
+    (train_end2end.py cfg model.init norm: instance); the encoder is
+    torchvision-style resnet18 = BatchNorm; Discriminator defaults to
+    'batch' (models.py:173)."""
+    if norm == "instance":
+        return nn.InstanceNorm(use_scale=False, use_bias=False,
+                               epsilon=1e-5, dtype=dtype, name=name)
+    return _bn(train, dtype, name)
+
+
 def _bn(train, dtype, name):
     return nn.BatchNorm(use_running_average=not train, momentum=0.9,
                         epsilon=1e-5, dtype=dtype, name=name)
@@ -114,6 +128,7 @@ class GUnetAddInput(nn.Module):
     num_downs: int = 7
     ngf: int = 64
     use_dropout: bool = False
+    norm: str = "instance"
     dtype: Any = None
 
     @nn.compact
@@ -143,14 +158,14 @@ class GUnetAddInput(nn.Module):
             h = nn.Conv(inner[d], (4, 4), strides=2, padding=1,
                         dtype=self.dtype, name=f"down{d}")(h)
             if 0 < d < nd - 1:
-                h = _bn(train, self.dtype, f"down_bn{d}")(h)
+                h = _norm(self.norm, train, self.dtype, f"down_bn{d}")(h)
             if d < nd - 1:
                 h = block(h, d + 1)
             h = nn.relu(h)
             h = up_layer(h, outer[d], f"up{d}")
             if d == 0:
                 return jnp.tanh(h.astype(jnp.float32))
-            h = _bn(train, self.dtype, f"up_bn{d}")(h)
+            h = _norm(self.norm, train, self.dtype, f"up_bn{d}")(h)
             if self.use_dropout and 4 <= d <= nd - 2:
                 h = nn.Dropout(0.5, deterministic=not train)(h)
             return jnp.concatenate([skip, h.astype(skip.dtype)], axis=-1)
@@ -164,6 +179,7 @@ class DNLayersMulti(nn.Module):
     ndf: int = 64
     n_layers: int = 2
     num_D: int = 1
+    norm: str = "batch"
     dtype: Any = None
 
     def _stack(self, x, ndf, train, prefix):
@@ -175,12 +191,13 @@ class DNLayersMulti(nn.Module):
             nf = min(2 ** n, 8)
             h = nn.Conv(ndf * nf, (4, 4), strides=2, padding=1,
                         dtype=self.dtype, name=f"{prefix}_conv{n}")(h)
-            h = _bn(train, self.dtype, f"{prefix}_bn{n}")(h)
+            h = _norm(self.norm, train, self.dtype, f"{prefix}_bn{n}")(h)
             h = nn.leaky_relu(h, 0.2)
         nf = min(2 ** self.n_layers, 8)
         h = nn.Conv(ndf * nf, (4, 4), strides=1, padding=1, dtype=self.dtype,
                     name=f"{prefix}_conv{self.n_layers}")(h)
-        h = _bn(train, self.dtype, f"{prefix}_bn{self.n_layers}")(h)
+        h = _norm(self.norm, train, self.dtype,
+                  f"{prefix}_bn{self.n_layers}")(h)
         h = nn.leaky_relu(h, 0.2)
         h = nn.Conv(1, (4, 4), strides=1, padding=1, dtype=self.dtype,
                     name=f"{prefix}_head")(h)

@@ -852,9 +852,15 @@ class TorchGUnetAddInput(nn.Module):
     z broadcast-concat at input, 4x4 s2 downs (bias=True), bilinear-up +
     reflect-pad 3x3 convs, tanh head."""
 
-    def __init__(self, input_nc=3, output_nc=3, nz=8, num_downs=5, ngf=8):
+    def __init__(self, input_nc=3, output_nc=3, nz=8, num_downs=5, ngf=8,
+                 norm="instance"):
         super().__init__()
-        self.nz, self.nd = nz, num_downs
+        self.nz, self.nd, self.norm = nz, num_downs, norm
+        # the SIVAE config builds the decoder with norm='instance'
+        # (InstanceNorm2d(affine=False), Utilities.get_norm_layer:195-207)
+        mk_norm = (lambda c: nn.InstanceNorm2d(c, affine=False)) \
+            if norm == "instance" else \
+            (lambda c: nn.BatchNorm2d(c, momentum=0.1, eps=1e-5))
         nd, inner = num_downs, [min(ngf * 2 ** d, ngf * 8)
                                 for d in range(num_downs)]
         outer = [output_nc] + [min(ngf * 2 ** (d - 1), ngf * 8)
@@ -867,13 +873,11 @@ class TorchGUnetAddInput(nn.Module):
             cin = (input_nc + nz) if d == 0 else inner[d - 1]
             self.downs.append(nn.Conv2d(cin, inner[d], 4, 2, 1, bias=True))
             if 0 < d < nd - 1:
-                self.down_bns[str(d)] = nn.BatchNorm2d(inner[d],
-                                                       momentum=0.1, eps=1e-5)
+                self.down_bns[str(d)] = mk_norm(inner[d])
             up_in = inner[d] + (inner[d] if d < nd - 1 else 0)
             self.ups.append(nn.Conv2d(up_in, outer[d], 3, 1, 0, bias=True))
             if d > 0:
-                self.up_bns[str(d)] = nn.BatchNorm2d(outer[d], momentum=0.1,
-                                                     eps=1e-5)
+                self.up_bns[str(d)] = mk_norm(outer[d])
 
     def forward(self, x, z):
         nd = self.nd
@@ -907,13 +911,13 @@ class TorchGUnetAddInput(nn.Module):
                 params[f"down{d}"]["kernel"])
             self.downs[d].bias.data = torch.tensor(
                 np.asarray(params[f"down{d}"]["bias"]))
-            if 0 < d < self.nd - 1:
+            if 0 < d < self.nd - 1 and self.norm != "instance":
                 load_bn(self.down_bns[str(d)], params[f"down_bn{d}"],
                         stats[f"down_bn{d}"])
             self.ups[d].weight.data = conv_to_torch(params[f"up{d}"]["kernel"])
             self.ups[d].bias.data = torch.tensor(
                 np.asarray(params[f"up{d}"]["bias"]))
-            if d > 0:
+            if d > 0 and self.norm != "instance":
                 load_bn(self.up_bns[str(d)], params[f"up_bn{d}"],
                         stats[f"up_bn{d}"])
 
