@@ -212,6 +212,9 @@ PRESETS: dict[str, dict[str, Any]] = {
     "end2end_3d": {"data.n_train": 68, "data.n_val": 10, "data.n_test": 20,
                    "data.batch_size": 1,  # 3D reference default
                                           # (GenSeg-3D/options/base_options.py:47)
+                   # the 3D pipeline defaults to --norm instance
+                   # (base_options.py:36), unlike the 2D 'batch' default
+                   "model.norm": "instance",
                    "optim.lr": 2e-4, "engine.hypergrad": "decay_only",
                    "run.name": "end2end-3d"},
     # BBDM Template-BBDM.yaml regime (pixel space)

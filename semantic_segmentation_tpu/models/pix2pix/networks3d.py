@@ -30,6 +30,19 @@ from semantic_segmentation_tpu.ops.nas import MixedConv, arch_softmax
 _INIT = pix2pix_normal_init(0.02)
 
 
+def _norm(norm, train, dtype, name):
+    """GenSeg-3D get_norm_layer (models/networks.py:109-130): the 3D
+    pipeline DEFAULTS to --norm instance (options/base_options.py:36) =
+    InstanceNorm3d(affine=False, track_running_stats=False) — parameter-free
+    per-sample stats over (D, H, W)."""
+    if norm == "instance":
+        return nn.InstanceNorm(use_scale=False, use_bias=False,
+                               epsilon=1e-5, dtype=dtype, name=name)
+    if norm == "none":
+        return lambda x: x
+    return _bn(train, dtype, name)
+
+
 def _bn(train, dtype, name):
     return nn.BatchNorm(use_running_average=not train, momentum=0.9,
                         epsilon=1e-5, dtype=dtype, name=name)
@@ -82,7 +95,7 @@ class UnetGenerator3D(nn.Module):
                             use_bias=use_bias, kernel_init=_INIT,
                             dtype=self.dtype, name=f"down{d}")(h)
             if 0 < d < nd - 1:
-                h = _bn(train, self.dtype, f"down_bn{d}")(h)
+                h = _norm(self.norm, train, self.dtype, f"down_bn{d}")(h)
             if d < nd - 1:
                 h = block(h, d + 1)
             h = nn.relu(h)
@@ -101,7 +114,7 @@ class UnetGenerator3D(nn.Module):
                                        name=f"up{d}")(h)
             if d == 0:
                 return jnp.tanh(h.astype(jnp.float32))
-            h = _bn(train, self.dtype, f"up_bn{d}")(h)
+            h = _norm(self.norm, train, self.dtype, f"up_bn{d}")(h)
             if self.use_dropout and 4 <= d <= nd - 2:
                 h = nn.Dropout(0.5, deterministic=not train,
                                name=f"dropout{d}")(h)
@@ -130,13 +143,14 @@ class NLayerDiscriminator3D(nn.Module):
             h = nn.Conv(self.ndf * nf, (4, 4, 4), strides=2, padding=1,
                         use_bias=use_bias, kernel_init=_INIT,
                         dtype=self.dtype, name=f"conv{n}")(h)
-            h = _bn(train, self.dtype, f"bn{n}")(h)
+            h = _norm(self.norm, train, self.dtype, f"bn{n}")(h)
             h = nn.leaky_relu(h, 0.2)
         nf = min(2 ** self.n_layers, 8)
         h = nn.Conv(self.ndf * nf, (4, 4, 4), strides=1, padding=1,
                     use_bias=use_bias, kernel_init=_INIT, dtype=self.dtype,
                     name=f"conv{self.n_layers}")(h)
-        h = _bn(train, self.dtype, f"bn{self.n_layers}")(h)
+        h = _norm(self.norm, train, self.dtype,
+                  f"bn{self.n_layers}")(h)
         h = nn.leaky_relu(h, 0.2)
         h = nn.Conv(1, (4, 4, 4), strides=1, padding=1, kernel_init=_INIT,
                     dtype=self.dtype, name="head")(h)

@@ -201,3 +201,39 @@ def test_3d_generator_losses_match_torch(rng_np):
     # tumor-free volume: the zero_division guard returns 0 for the MSE term
     zero_truth = np.zeros(shape, np.float32)
     np.testing.assert_allclose(ours(mask, zero_truth), float(l1_t), rtol=1e-5)
+
+
+def test_instance_norm3d_matches_torch(rng_np):
+    """GenSeg-3D defaults to --norm instance (options/base_options.py:36):
+    flax InstanceNorm over (D, H, W) must equal torch InstanceNorm3d
+    (affine=False)."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    x = rng_np.normal(size=(2, 4, 6, 5, 3)).astype(np.float32)  # NDHWC
+    m = nn.InstanceNorm(use_scale=False, use_bias=False, epsilon=1e-5)
+    y = m.apply(m.init(jax.random.key(0), jnp.asarray(x)), jnp.asarray(x))
+    with torch.no_grad():
+        yt = torch.nn.functional.instance_norm(
+            torch.tensor(np.transpose(x, (0, 4, 1, 2, 3))), eps=1e-5)
+    np.testing.assert_allclose(np.asarray(y),
+                               np.transpose(yt.numpy(), (0, 2, 3, 4, 1)),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_generator3d_instance_norm_smoke():
+    import jax
+    import jax.numpy as jnp
+
+    from semantic_segmentation_tpu.models.pix2pix.networks3d import (
+        UnetGenerator3D)
+    g = UnetGenerator3D(1, num_downs=3, ngf=4, norm="instance",
+                        dtype=jnp.float32)
+    x = jnp.zeros((1, 16, 16, 16, 1))
+    arch = jnp.zeros((3, 3))
+    variables = g.init(jax.random.key(0), x, arch, train=False)
+    assert not any("bn" in k for k in variables["params"])  # param-free norm
+    y = g.apply(variables, x, arch, train=False)
+    assert y.shape == (1, 16, 16, 16, 1) and bool(jnp.isfinite(y).all())
