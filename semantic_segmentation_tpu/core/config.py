@@ -45,6 +45,10 @@ class ModelConfig:
     n_layers_D: int = 3
     norm: str = "batch"
     no_dropout: bool = False
+    # init_net's --init_type/--init_gain (models_pix2pix/networks.py:73-122):
+    # normal | xavier | kaiming | orthogonal, applied to G/D at construction
+    init_type: str = "normal"
+    init_gain: float = 0.02
     input_nc: int = 1
     output_nc: int = 1
     classes: int = 1

@@ -46,8 +46,10 @@ class Pix2Pix:
                  netG="unet_256", netD="basic", norm="batch",
                  use_dropout=True, gan_mode="vanilla", lambda_L1=100.0,
                  lr=2e-4, beta1=0.5, arch_lr=1e-4, arch_weight_decay=1e-3,
-                 compute_dtype=jnp.bfloat16):
+                 compute_dtype=jnp.bfloat16, init_type="normal",
+                 init_gain=0.02):
         self.input_nc, self.output_nc = input_nc, output_nc
+        self.init_type, self.init_gain = init_type, init_gain
         self.G = define_G(output_nc, netG, ngf, norm, use_dropout, compute_dtype)
         self.D = define_D(netD, ndf, 3, norm, compute_dtype)
         self.gan_mode, self.lambda_L1 = gan_mode, lambda_L1
@@ -66,12 +68,25 @@ class Pix2Pix:
                             self.input_nc + self.output_nc))
         gv = self.G.init({"params": kg}, x_mask, arch["upconv"], train=False)
         dv = self.D.init({"params": kd}, x_pair, train=False)
+        g_params, d_params = gv["params"], dv["params"]
+        if self.init_type != "normal":
+            # init_net's non-default laws (networks.py:84-98), applied the
+            # torch way: post-construction re-draw of every conv kernel
+            # (generator up{d} modules are transposed convs — torch's fan
+            # quirk), BN scale ~ N(1, gain), biases zeroed. 'normal' is
+            # already the construction-time law (_INIT).
+            from semantic_segmentation_tpu.ops.flax_layers import reinit_params
+            kg2, kd2 = jax.random.split(jax.random.fold_in(rng, 7))
+            g_params = reinit_params(kg2, g_params, self.init_type,
+                                     self.init_gain)
+            d_params = reinit_params(kd2, d_params, self.init_type,
+                                     self.init_gain)
         return Pix2PixState(
-            g_params=gv["params"], g_stats=gv.get("batch_stats", {}),
-            d_params=dv["params"], d_stats=dv.get("batch_stats", {}),
+            g_params=g_params, g_stats=gv.get("batch_stats", {}),
+            d_params=d_params, d_stats=dv.get("batch_stats", {}),
             arch=arch,
-            opt_g=self.tx_g.init(gv["params"]),
-            opt_d=self.tx_d.init(dv["params"]),
+            opt_g=self.tx_g.init(g_params),
+            opt_d=self.tx_d.init(d_params),
             opt_arch=self.tx_arch.init(arch),
             step=jnp.zeros((), jnp.int32),
         )

@@ -49,6 +49,87 @@ def pix2pix_normal_init(gain: float = 0.02):
     return nn.initializers.normal(stddev=gain)
 
 
+def _semi_orthogonal(key, rows: int, cols: int, gain: float):
+    """torch ``init.orthogonal_`` law on a (rows, cols) flattened weight:
+    QR of a Gaussian (transposed when rows < cols so the SHORT side is
+    orthonormal), sign-corrected by diag(R), scaled by gain."""
+    tall = rows >= cols
+    a = jax.random.normal(key, (rows, cols) if tall else (cols, rows))
+    q, r = jnp.linalg.qr(a)
+    q = q * jnp.sign(jnp.diagonal(r))[None, :]
+    return gain * (q if tall else q.T)
+
+
+def reinit_params(key, params, init_type: str = "normal",
+                  init_gain: float = 0.02,
+                  transposed_re: str = r"up\d+$"):
+    """``init_weights`` (models_pix2pix/networks.py:73-104) as a pure pass
+    over an already-constructed params pytree — the functional analogue of
+    torch's post-hoc ``net.apply(init_func)``.
+
+    Laws (torch ``nn.init`` semantics on our HWIO kernels, receptive field
+    rf = prod(spatial), I/O the last two axes):
+      - normal:     N(0, init_gain)
+      - xavier:     ``xavier_normal_(gain)`` -> N(0, gain*sqrt(2/(rf*I+rf*O)))
+      - kaiming:    ``kaiming_normal_(a=0, mode='fan_in')`` -> N(0, sqrt(2/fan));
+                    torch computes fan from tensor dim 1, so for a
+                    ConvTranspose (IOHW weight) fan = rf*O, not rf*I — modules
+                    whose name matches ``transposed_re`` get that law
+      - orthogonal: ``orthogonal_(gain)`` on the (dim0, rest) flattening —
+                    rows = O for a conv, rows = I for a transposed conv
+    Biases of conv/dense params go to 0; BatchNorm ``scale`` is re-drawn
+    N(1, init_gain) and its ``bias`` zeroed (init_func's BatchNorm2d branch).
+    InstanceNorm carries no params (affine=False), matching the reference.
+    """
+    import re
+    if init_type == "normal":
+        law = lambda k, s, tr: init_gain * jax.random.normal(k, s)
+    elif init_type == "xavier":
+        def law(k, s, tr):
+            rf = math.prod(s[:-2])
+            std = init_gain * math.sqrt(2.0 / (rf * s[-2] + rf * s[-1]))
+            return std * jax.random.normal(k, s)
+    elif init_type == "kaiming":
+        def law(k, s, tr):
+            rf = math.prod(s[:-2])
+            fan = rf * (s[-1] if tr else s[-2])
+            return math.sqrt(2.0 / fan) * jax.random.normal(k, s)
+    elif init_type == "orthogonal":
+        def law(k, s, tr):
+            rf = math.prod(s[:-2])
+            if tr:  # rows = I (torch IOHW dim 0)
+                a = _semi_orthogonal(k, s[-2], rf * s[-1], init_gain)
+                a = a.reshape((s[-2],) + s[:-2] + (s[-1],))
+                return jnp.moveaxis(a, 0, -2)
+            a = _semi_orthogonal(k, s[-1], rf * s[-2], init_gain)
+            a = a.reshape((s[-1],) + s[:-2] + (s[-2],))
+            return jnp.moveaxis(a, 0, -1)
+    else:
+        raise NotImplementedError(init_type)
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    n_kernels = sum(1 for p, _ in flat
+                    if str(p[-1].key).startswith("kernel"))
+    keys = iter(jax.random.split(key, max(n_kernels, 1)))
+    pat = re.compile(transposed_re)
+    out = []
+    for path, leaf in flat:
+        name = str(path[-1].key)
+        parent = str(path[-2].key) if len(path) > 1 else ""
+        if name.startswith("kernel") and leaf.ndim >= 2:
+            tr = bool(pat.search(parent))
+            out.append(law(next(keys), leaf.shape, tr).astype(leaf.dtype))
+        elif name == "scale":   # BatchNorm affine weight
+            out.append((1.0 + init_gain * jax.random.normal(
+                jax.random.fold_in(key, len(out)), leaf.shape)
+            ).astype(leaf.dtype))
+        elif name.startswith("bias"):
+            out.append(jnp.zeros_like(leaf))
+        else:
+            out.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 class TorchConvTranspose(nn.Module):
     """``nn.ConvTranspose2d/3d(k, stride, padding)`` with torch output-size
     semantics; kernel stored as the forward-equivalent (flipped) HWIO tensor."""

@@ -192,14 +192,27 @@ class GenSeg3D:
         gv = self.G.init({"params": kg}, a0, arch["conv"], train=False)
         dv = self.D.init({"params": kd}, pair0, train=False)
         uv = self.seg.init({"params": ku}, a0, train=False)
+        g_params, d_params = gv["params"], dv["params"]
+        if self.cfg.model.init_type != "normal":
+            # init_net laws on G/D (GenSeg-3D/models/networks.py init_net);
+            # with linear upsampling the up{d} modules are PLAIN convs, so
+            # only the deconvolution variant gets the transposed fan quirk
+            from semantic_segmentation_tpu.ops.flax_layers import reinit_params
+            tr_re = r"up\d+$" if self.G.upsampling == "deconvolution" \
+                else r"(?!x)x"
+            k2, k3 = jax.random.split(jax.random.fold_in(rng, 7))
+            g_params = reinit_params(k2, g_params, self.cfg.model.init_type,
+                                     self.cfg.model.init_gain, tr_re)
+            d_params = reinit_params(k3, d_params, self.cfg.model.init_type,
+                                     self.cfg.model.init_gain, tr_re)
         return engine.init(
-            params={"netG": gv["params"], "netD": dv["params"],
+            params={"netG": g_params, "netD": d_params,
                     "unet": uv["params"]},
             stats={"netG": gv.get("batch_stats", {}),
                    "netD": dv.get("batch_stats", {}),
                    "unet": uv.get("batch_stats", {})},
-            opts={"netG": self.tx_g.init(gv["params"]),
-                  "netD": self.tx_d.init(dv["params"]),
+            opts={"netG": self.tx_g.init(g_params),
+                  "netD": self.tx_d.init(d_params),
                   "unet": self.tx_u.init(uv["params"])},
             arch=arch)
 

@@ -31,7 +31,8 @@ def build_pix2pix(cfg: Config, lr: float | None = None) -> Pix2Pix:
         use_dropout=not cfg.model.no_dropout, gan_mode=cfg.optim.gan_mode,
         lambda_L1=cfg.optim.lambda_L1, lr=lr or cfg.optim.lr,
         beta1=cfg.optim.beta1, arch_lr=cfg.optim.arch_lr,
-        compute_dtype=dtype)
+        compute_dtype=dtype, init_type=cfg.model.init_type,
+        init_gain=cfg.model.init_gain)
 
 
 def train(cfg: Config, n_epochs: int | None = None, train_iters: int | None = None):
