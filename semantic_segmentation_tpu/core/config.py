@@ -122,6 +122,13 @@ class RunConfig:
     sample_only: bool = False        # BBDM main.py WITHOUT -t: restore the
                                      # latest checkpoint, sample_to_eval +
                                      # diversity/FID/LPIPS scoring, no train
+    seg_pretrained: str = ""         # torch checkpoint to start the seg net
+                                     # from: torchvision deeplabv3_resnet50 /
+                                     # ImageNet resnet50 (backbone overlay) /
+                                     # swin-tiny / reference unet state_dict,
+                                     # ported on the fly (the reference's
+                                     # torch.hub weights_backbone default +
+                                     # swin load_from analogue)
     model_file: str = ""             # test_seg: explicit checkpoint file
                                      # (--model_dir analogue, test_lung.py:67);
                                      # .msgpack, or a torch .pkl/.pth ported

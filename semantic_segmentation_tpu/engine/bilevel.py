@@ -316,17 +316,12 @@ class BilevelEngine:
         return state.replace(step=state.step + 1), metrics
 
     # ------------------------------------------------------------------
-    @partial(jax.jit, static_argnames=("self", "problem_names"),
-             donate_argnames=("state",))
-    def engine_step_sampled(self, state: EngineState, train_data, val_data,
-                            idx_stack, val_idx, step, rng,
-                            problem_names: tuple):
-        """One engine iteration with DEVICE-SIDE batch assembly: the trainer
-        passes the whole (HBM-resident) splits plus per-problem index arrays
-        (K, B); gathering, K-stacking, and rng folding all happen inside one
-        jitted dispatch — a single host->device call per training step
-        instead of dozens (important through high-latency device tunnels).
-        """
+    def _sampled_step(self, state: EngineState, train_data, val_data,
+                      idx_stack, val_idx, step, rng, problem_names: tuple):
+        """One engine iteration with DEVICE-SIDE batch assembly: gathering,
+        K-stacking, and rng folding all happen inside the jitted dispatch.
+        This is the body shared by ``engine_step_sampled`` (single step) and
+        ``engine_run_chunk`` (lax.scan over it)."""
         batch_stack = {
             name: jax.tree.map(lambda x: x[idx_stack[name]], train_data)
             for name in problem_names
@@ -334,6 +329,18 @@ class BilevelEngine:
         val_batch = jax.tree.map(lambda x: x[val_idx], val_data)
         return self.engine_step(state, batch_stack, val_batch,
                                 jax.random.fold_in(rng, step))
+
+    @partial(jax.jit, static_argnames=("self", "problem_names"),
+             donate_argnames=("state",))
+    def engine_step_sampled(self, state: EngineState, train_data, val_data,
+                            idx_stack, val_idx, step, rng,
+                            problem_names: tuple):
+        """Single-dispatch form of ``_sampled_step``: the trainer passes the
+        whole (HBM-resident) splits plus per-problem index arrays (K, B) —
+        one host->device call per training step instead of dozens (important
+        through high-latency device tunnels)."""
+        return self._sampled_step(state, train_data, val_data, idx_stack,
+                                  val_idx, step, rng, problem_names)
 
     @partial(jax.jit, static_argnames=("self", "problem_names", "unroll"),
              donate_argnames=("state",))
@@ -350,14 +357,8 @@ class BilevelEngine:
 
         def body(st, xs):
             s, idxs, vidx = xs
-            batch_stack = {
-                name: jax.tree.map(lambda x: x[idxs[name]], train_data)
-                for name in problem_names
-            }
-            val_batch = jax.tree.map(lambda x: x[vidx], val_data)
-            st, metrics = self.engine_step(st, batch_stack, val_batch,
-                                           jax.random.fold_in(rng, step0 + s))
-            return st, metrics
+            return self._sampled_step(st, train_data, val_data, idxs, vidx,
+                                      step0 + s, rng, problem_names)
 
         S = val_idx_chunk.shape[0]
         state, metrics = jax.lax.scan(

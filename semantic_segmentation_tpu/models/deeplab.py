@@ -56,7 +56,14 @@ class Bottleneck(nn.Module):
 
 
 class ResNet50Backbone(nn.Module):
-    """ResNet-50, output stride 8 (dilated layer3/layer4)."""
+    """ResNet-50, output stride 8 (dilated layer3/layer4).
+
+    Exactly torchvision's ``resnet50(replace_stride_with_dilation=
+    [False, True, True])``: in ``_make_layer`` the FIRST block of a dilated
+    stage keeps the *previous* dilation (layer3 block0 dil=1, layer4 block0
+    dil=2) while later blocks use the new one — required for ported
+    ImageNet/deeplabv3 weights to be forward-equivalent."""
+    layers: tuple = (3, 4, 6, 3)
     dtype: Any = None
 
     @nn.compact
@@ -68,12 +75,13 @@ class ResNet50Backbone(nn.Module):
         h = jnp.pad(h, [(0, 0), (1, 1), (1, 1), (0, 0)],
                     constant_values=-jnp.inf)
         h = nn.max_pool(h, (3, 3), strides=(2, 2))
-        cfgs = [  # (blocks, planes, stride, dilation)
-            (3, 64, 1, 1), (4, 128, 2, 1), (6, 256, 1, 2), (3, 512, 1, 4),
+        cfgs = [  # (planes, stride, first-block dilation, rest dilation)
+            (64, 1, 1, 1), (128, 2, 1, 1), (256, 1, 1, 2), (512, 1, 2, 4),
         ]
-        for li, (blocks, planes, stride, dil) in enumerate(cfgs):
-            for bi in range(blocks):
-                h = Bottleneck(planes, stride if bi == 0 else 1, dil,
+        for li, (planes, stride, dil0, dil) in enumerate(cfgs):
+            for bi in range(self.layers[li]):
+                h = Bottleneck(planes, stride if bi == 0 else 1,
+                               dil0 if bi == 0 else dil,
                                downsample=bi == 0, dtype=self.dtype,
                                name=f"layer{li + 1}_{bi}")(h, train)
         return h
@@ -112,6 +120,7 @@ class ASPP(nn.Module):
 class DeepLabV3(nn.Module):
     n_channels: int = 1
     n_classes: int = 1
+    layers: tuple = (3, 4, 6, 3)
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -121,7 +130,8 @@ class DeepLabV3(nn.Module):
         if c == 1:  # grayscale -> 3ch expand (deeplab/deeplabv3.py:14-15)
             x = jnp.broadcast_to(x, (n, H, W, 3))
         x = x.astype(self.dtype or x.dtype)
-        h = ResNet50Backbone(dtype=self.dtype, name="backbone")(x, train)
+        h = ResNet50Backbone(self.layers, dtype=self.dtype,
+                             name="backbone")(x, train)
         h = ASPP(dtype=self.dtype, name="aspp")(h, train)
         h = nn.Conv(256, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
                     name="head_conv")(h)

@@ -69,12 +69,14 @@ class Pix2Pix:
         gv = self.G.init({"params": kg}, x_mask, arch["upconv"], train=False)
         dv = self.D.init({"params": kd}, x_pair, train=False)
         g_params, d_params = gv["params"], dv["params"]
-        if self.init_type != "normal":
+        if self.init_type != "normal" or self.init_gain != 0.02:
             # init_net's non-default laws (networks.py:84-98), applied the
             # torch way: post-construction re-draw of every conv kernel
             # (generator up{d} modules are transposed convs — torch's fan
-            # quirk), BN scale ~ N(1, gain), biases zeroed. 'normal' is
-            # already the construction-time law (_INIT).
+            # quirk), BN scale ~ N(1, gain), biases zeroed. 'normal' at the
+            # default gain 0.02 is already the construction-time law (_INIT);
+            # a non-default --init_gain re-draws even under 'normal', matching
+            # init_net's init_gain plumb-through (networks.py:87-88).
             from semantic_segmentation_tpu.ops.flax_layers import reinit_params
             kg2, kd2 = jax.random.split(jax.random.fold_in(rng, 7))
             g_params = reinit_params(kg2, g_params, self.init_type,

@@ -77,24 +77,32 @@ class SegProblem:
                         opt=self.tx.init(variables["params"]),
                         step=jnp.zeros((), jnp.int32))
 
-    def apply(self, params, stats, images, train: bool):
+    def apply(self, params, stats, images, train: bool, rng=None):
+        """``rng`` feeds train-mode stochastic layers (ASPP Dropout in
+        DeepLabV3, DropPath in SwinUnet — the reference trains both with
+        dropout active, deeplabv3.py:8 / swin yaml DROP_PATH_RATE). Callers
+        that don't thread one get a fixed key: deterministic but valid."""
         variables = {"params": params, "batch_stats": stats}
         if train:
+            rngs = {"dropout": jax.random.key(0) if rng is None else rng}
             logits, mut = self.model.apply(variables, images, train=True,
-                                           mutable=["batch_stats"])
+                                           mutable=["batch_stats"], rngs=rngs)
             return logits, mut["batch_stats"]
         return self.model.apply(variables, images, train=False), stats
 
-    def loss(self, params, stats, images, masks, train: bool = True):
+    def loss(self, params, stats, images, masks, train: bool = True,
+             rng=None):
         logits, new_stats = self.apply(params, stats,
-                                       images.astype(jnp.float32), train)
+                                       images.astype(jnp.float32), train, rng)
         return seg_loss_fn(logits, masks, self.n_classes, self.loss_type), new_stats
 
     @partial(jax.jit, static_argnames=("self",))
     def train_step(self, state: SegState, batch):
+        rng = jax.random.fold_in(jax.random.key(0), state.step)
+
         def lf(p):
             loss, new_stats = self.loss(p, state.stats, batch["image"],
-                                        batch["mask"], train=True)
+                                        batch["mask"], train=True, rng=rng)
             return loss, new_stats
 
         (loss, new_stats), grads = jax.value_and_grad(lf, has_aux=True)(

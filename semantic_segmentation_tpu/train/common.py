@@ -45,3 +45,19 @@ def load_splits(cfg: Config):
 def as_float_images(batch: dict) -> dict:
     return {k: v.astype(np.float32) if k.startswith("image") else v
             for k, v in batch.items()}
+
+
+def apply_seg_pretrained(cfg: Config, seg_state):
+    """--run.seg_pretrained: overlay a ported torch checkpoint onto the fresh
+    seg-net init (deeplab/deeplabv3.py:8's pretrained-backbone start, swin
+    load_from, or a reference-trained unet state_dict). Partial trees (e.g.
+    an ImageNet resnet50 = backbone only) keep the fresh init elsewhere."""
+    if not cfg.run.seg_pretrained:
+        return seg_state
+    from semantic_segmentation_tpu.utils.torch_port import (
+        load_state_dict, overlay_pytree, port_seg_checkpoint)
+    p, s = port_seg_checkpoint(cfg.model.seg_model,
+                               load_state_dict(cfg.run.seg_pretrained),
+                               cfg.model.classes)
+    return seg_state.replace(params=overlay_pytree(seg_state.params, p),
+                             stats=overlay_pytree(seg_state.stats, s))

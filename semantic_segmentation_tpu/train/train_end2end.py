@@ -92,9 +92,12 @@ def build_problems(cfg: Config, p2p: Pix2Pix, seg: SegProblem):
         images = batch["image"].astype(jnp.float32)
         masks = batch["mask"].astype(jnp.float32)
 
-        # real branch (train_end2end_jsrt.py:181-183)
+        # real branch (train_end2end_jsrt.py:181-183). fold_in (not split)
+        # for the seg-net dropout keys so existing aug/G streams are
+        # untouched (trajectory parity vs the torch oracles).
         logits, u_stats = seg.apply(u_params, state.stats["unet"], images,
-                                    train=True)
+                                    train=True,
+                                    rng=jax.random.fold_in(rng, 101))
         loss = seg_loss_fn(logits, masks, seg.n_classes, seg.loss_type)
 
         # fake branch (:186-204), fully on device
@@ -119,7 +122,8 @@ def build_problems(cfg: Config, p2p: Pix2Pix, seg: SegProblem):
         else:
             fake_image = iops.minmax_normalize(fake_image)
         fake_logits, u_stats = seg.apply(u_params, u_stats, fake_image,
-                                         train=True)
+                                         train=True,
+                                         rng=jax.random.fold_in(rng, 102))
         fake_loss = seg_loss_fn(fake_logits, fake_mask, seg.n_classes,
                                 seg.loss_type)
         return loss + loss_lambda * fake_loss, {"unet": u_stats,
@@ -131,7 +135,9 @@ def build_problems(cfg: Config, p2p: Pix2Pix, seg: SegProblem):
         images = val_batch["image"].astype(jnp.float32)
         masks = val_batch["mask"].astype(jnp.float32)
         logits, _ = seg.apply(state.params["unet"], state.stats["unet"],
-                              images, train=True)
+                              images, train=True,
+                              rng=jax.random.fold_in(jax.random.key(2),
+                                                     state.step))
         return seg_loss_fn(logits, masks, seg.n_classes, seg.loss_type)
 
     problems = [
@@ -159,6 +165,8 @@ def build_engine_and_state(cfg: Config, rng):
     if cfg.run.pretrained_pix2pix:
         p2p_state = load_model(p2p_state, cfg.run.pretrained_pix2pix)
     seg_state = seg.init(k2, cfg.data.image_size)
+    from semantic_segmentation_tpu.train.common import apply_seg_pretrained
+    seg_state = apply_seg_pretrained(cfg, seg_state)
 
     problems, outer_loss = build_problems(cfg, p2p, seg)
     # end2end arch optimizer: Adam(arch_lr, (0.5, 0.999), wd=1e-5)

@@ -193,8 +193,10 @@ class GenSeg3D:
         dv = self.D.init({"params": kd}, pair0, train=False)
         uv = self.seg.init({"params": ku}, a0, train=False)
         g_params, d_params = gv["params"], dv["params"]
-        if self.cfg.model.init_type != "normal":
+        if (self.cfg.model.init_type != "normal"
+                or self.cfg.model.init_gain != 0.02):
             # init_net laws on G/D (GenSeg-3D/models/networks.py init_net);
+            # non-default --init_gain re-draws even under 'normal';
             # with linear upsampling the up{d} modules are PLAIN convs, so
             # only the deconvolution variant gets the transposed fan quirk
             from semantic_segmentation_tpu.ops.flax_layers import reinit_params

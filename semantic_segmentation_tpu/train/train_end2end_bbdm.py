@@ -66,7 +66,8 @@ def build(cfg: Config, bbdm: BBDMModel | None = None,
         images = batch["image"].astype(jnp.float32)
         masks = batch["mask"].astype(jnp.float32)
         logits, u_stats = seg.apply(u_params, state.stats["unet"], images,
-                                    train=True)
+                                    train=True,
+                                    rng=jax.random.fold_in(rng, 101))
         loss = seg_loss_fn(logits, masks, seg.n_classes, "jaccard")
 
         if sample_in_step and loss_lambda != 0.0:
@@ -89,7 +90,8 @@ def build(cfg: Config, bbdm: BBDMModel | None = None,
                  "arch": jax.lax.stop_gradient(arch["conv"])}, fm_pm1, rng_s)
             fake = jax.lax.stop_gradient(iops.minmax_normalize(fake))
             fake_logits, u_stats = seg.apply(u_params, u_stats, fake,
-                                             train=True)
+                                             train=True,
+                                             rng=jax.random.fold_in(rng, 102))
             fake_loss = seg_loss_fn(fake_logits, fm, seg.n_classes,
                                     "jaccard")
             loss = loss + loss_lambda * fake_loss
@@ -99,7 +101,9 @@ def build(cfg: Config, bbdm: BBDMModel | None = None,
         images = val_batch["image"].astype(jnp.float32)
         masks = val_batch["mask"].astype(jnp.float32)
         logits, _ = seg.apply(state.params["unet"], state.stats["unet"],
-                              images, train=True)
+                              images, train=True,
+                              rng=jax.random.fold_in(jax.random.key(2),
+                                                     state.step))
         return seg_loss_fn(logits, masks, seg.n_classes, "jaccard")
 
     problems = [

@@ -87,7 +87,8 @@ def build(cfg: Config, model: SoftIntroVAE | None = None,
         images = batch["image"].astype(jnp.float32)
         masks = batch["mask"].astype(jnp.float32)
         logits, u_stats = seg.apply(u_params, state.stats["unet"], images,
-                                    train=True)
+                                    train=True,
+                                    rng=jax.random.fold_in(rng, 101))
         loss = seg_loss_fn(logits, masks, seg.n_classes, "jaccard")
         # fakes: decode(aug mask, z ~ N) (sample_with_noise, models.py:230-232)
         aug = random_augment_batch(rng_a, masks)
@@ -105,7 +106,8 @@ def build(cfg: Config, model: SoftIntroVAE | None = None,
             rng_p, iops.to_uint8(fake)).astype(jnp.float32) / 255.0
         if cfg.model.output_nc == 1:
             fake = jnp.mean(fake, axis=-1, keepdims=True)
-        fake_logits, u_stats = seg.apply(u_params, u_stats, fake, train=True)
+        fake_logits, u_stats = seg.apply(u_params, u_stats, fake, train=True,
+                                         rng=jax.random.fold_in(rng, 102))
         fake_loss = seg_loss_fn(fake_logits, fm, seg.n_classes, "jaccard")
         return loss + loss_lambda * fake_loss, {"unet": u_stats,
                                                 "netG": g_stats}
@@ -114,7 +116,9 @@ def build(cfg: Config, model: SoftIntroVAE | None = None,
         images = val_batch["image"].astype(jnp.float32)
         masks = val_batch["mask"].astype(jnp.float32)
         logits, _ = seg.apply(state.params["unet"], state.stats["unet"],
-                              images, train=True)
+                              images, train=True,
+                              rng=jax.random.fold_in(jax.random.key(2),
+                                                     state.step))
         return seg_loss_fn(logits, masks, seg.n_classes, "jaccard")
 
     problems = [

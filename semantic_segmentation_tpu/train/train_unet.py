@@ -19,7 +19,8 @@ from semantic_segmentation_tpu.core.optim import PlateauTracker, set_learning_ra
 from semantic_segmentation_tpu.data.pipeline import batch_iterator, eval_batches
 from semantic_segmentation_tpu.models.seg import SegProblem
 from semantic_segmentation_tpu.ops.metrics import eval_batch_score
-from semantic_segmentation_tpu.train.common import load_splits
+from semantic_segmentation_tpu.train.common import (apply_seg_pretrained,
+                                                    load_splits)
 
 import jax.numpy as jnp
 
@@ -43,6 +44,7 @@ def train(cfg: Config, train_iters: int | None = None):
                          cfg.model.classes, lr=cfg.optim.unet_lr,
                          compute_dtype=dtype, **kw)
     state = problem.init(jax.random.key(cfg.run.seed), cfg.data.image_size)
+    state = apply_seg_pretrained(cfg, state)
     splits = load_splits(cfg)
     log = MetricsLogger(os.path.join(cfg.run.save_dir, cfg.run.name),
                         cfg.run.wandb, cfg.run.wandb_project, cfg.run.name,

@@ -327,19 +327,18 @@ def port_unet_milesial(sd: dict):
     return params, stats
 
 
-def port_deeplabv2(sd: dict, layers=(3, 4, 23)):
-    """Port a DeepLabV2 state_dict (the reference's ``deeplabv2/`` naming:
-    ``backbone.conv1/bn1/layer{L}.{B}.conv{1,2,3}|bn{1,2,3}|downsample.{0,1}``
-    + ``classifier.conv2d_list.{i}``, deeplab_v2.py:13-89,
-    backbone/resnet.py:53-120) into our models/deeplab.DeepLabV2 tree.
-    ``layers`` = blocks for stages 1-3 (layer4 is always the 3-block MG unit).
-    -> (params, batch_stats)."""
+def _port_resnet_stages(sd: dict, prefix: str, layers):
+    """Shared torch-ResNet -> flax-backbone body (stem conv1/bn1 +
+    layer{L}.{B}.conv{1,2,3}|bn{1,2,3}|downsample.{0,1}) used by
+    port_deeplabv2, port_deeplabv3, and port_resnet50_backbone — the naming
+    is identical across the reference's deeplabv2 backbone and torchvision's
+    resnet50 (dilations are architectural, not stored)."""
     bb_p, bb_s = {}, {}
-    bb_p["stem"] = {"kernel": convert_conv(sd["backbone.conv1.weight"])}
-    bb_p["stem_bn"], bb_s["stem_bn"] = port_batchnorm(sd, "backbone.bn1")
-    for li, blocks in enumerate(tuple(layers) + (3,)):
+    bb_p["stem"] = {"kernel": convert_conv(sd[f"{prefix}conv1.weight"])}
+    bb_p["stem_bn"], bb_s["stem_bn"] = port_batchnorm(sd, f"{prefix}bn1")
+    for li, blocks in enumerate(layers):
         for bi in range(blocks):
-            src = f"backbone.layer{li + 1}.{bi}"
+            src = f"{prefix}layer{li + 1}.{bi}"
             dst_p, dst_s = {}, {}
             for ci in (1, 2, 3):
                 dst_p[f"conv{ci}"] = {
@@ -353,12 +352,97 @@ def port_deeplabv2(sd: dict, layers=(3, 4, 23)):
                     sd, f"{src}.downsample.1")
             bb_p[f"layer{li + 1}_{bi}"] = dst_p
             bb_s[f"layer{li + 1}_{bi}"] = dst_s
+    return bb_p, bb_s
+
+
+def port_deeplabv2(sd: dict, layers=(3, 4, 23)):
+    """Port a DeepLabV2 state_dict (the reference's ``deeplabv2/`` naming:
+    ``backbone.conv1/bn1/layer{L}.{B}.conv{1,2,3}|bn{1,2,3}|downsample.{0,1}``
+    + ``classifier.conv2d_list.{i}``, deeplab_v2.py:13-89,
+    backbone/resnet.py:53-120) into our models/deeplab.DeepLabV2 tree.
+    ``layers`` = blocks for stages 1-3 (layer4 is always the 3-block MG unit).
+    -> (params, batch_stats)."""
+    bb_p, bb_s = _port_resnet_stages(sd, "backbone.", tuple(layers) + (3,))
     cls_p = {}
     for i in range(4):
         cls_p[f"conv{i}"] = {
             "kernel": convert_conv(sd[f"classifier.conv2d_list.{i}.weight"]),
             "bias": sd[f"classifier.conv2d_list.{i}.bias"]}
     return ({"backbone": bb_p, "classifier": cls_p}, {"backbone": bb_s})
+
+
+def _infer_resnet_layers(sd: dict, prefix: str) -> tuple:
+    """Block counts per stage, read off the state_dict keys themselves (so
+    checkpoints for any Bottleneck-ResNet depth port without a layers arg)."""
+    return tuple(
+        1 + max(int(k[len(f"{prefix}layer{li}."):].split(".")[0])
+                for k in sd if k.startswith(f"{prefix}layer{li}."))
+        for li in (1, 2, 3, 4))
+
+
+def port_resnet50_backbone(sd: dict, layers=None):
+    """torchvision ImageNet ``resnet50()`` state_dict (conv1/bn1/layer1..4,
+    fc ignored) -> (params, batch_stats) for models/deeplab.ResNet50Backbone.
+
+    This is what the reference's ``--seg_model deeplab`` actually starts
+    from: ``deeplabv3_resnet50(num_classes=..., weights=None)``
+    (deeplab/deeplabv3.py:8) leaves the torchvision-0.14 builder's
+    ``weights_backbone=ResNet50_Weights.IMAGENET1K_V1`` default in force —
+    pretrained backbone, fresh head."""
+    sd = _strip_module(sd)
+    if layers is None:
+        layers = _infer_resnet_layers(sd, "")
+    return _port_resnet_stages(sd, "", layers)
+
+
+def port_deeplabv3(sd: dict, layers=None, n_classes: int | None = None):
+    """Full torchvision ``deeplabv3_resnet50`` state_dict ->
+    (params, batch_stats) for models/deeplab.DeepLabV3.
+
+    Naming (torchvision 0.14 segmentation.deeplabv3): the backbone keeps
+    resnet names under ``backbone.`` (IntermediateLayerGetter);
+    ``classifier`` is DeepLabHead = Sequential(ASPP, Conv2d 3x3, BN, ReLU,
+    Conv2d 1x1), where ASPP.convs.0 = 1x1+BN, convs.1-3 = dilated 3x3+BN
+    (rates 12/24/36), convs.4 = image pooling (conv at .1, BN at .2), and
+    ``project`` the post-concat 1x1+BN. ``aux_classifier.*`` (present in
+    COCO-pretrained checkpoints, aux_loss=True) is ignored. If ``n_classes``
+    is given and the checkpoint's final 1x1 has a different class count, the
+    final classifier is dropped (returned params lack ``classifier``; merge
+    over a fresh init) — the reference's num_classes=1 rebuild does the same
+    by constructing a fresh head."""
+    sd = _strip_module(sd)
+    if layers is None:
+        layers = _infer_resnet_layers(sd, "backbone.")
+    bb_p, bb_s = _port_resnet_stages(sd, "backbone.", layers)
+    aspp_p, aspp_s = {}, {}
+    aspp_p["b0_conv"] = {
+        "kernel": convert_conv(sd["classifier.0.convs.0.0.weight"])}
+    aspp_p["b0_bn"], aspp_s["b0_bn"] = port_batchnorm(
+        sd, "classifier.0.convs.0.1")
+    for i in (1, 2, 3):
+        aspp_p[f"b{i}_conv"] = {
+            "kernel": convert_conv(sd[f"classifier.0.convs.{i}.0.weight"])}
+        aspp_p[f"b{i}_bn"], aspp_s[f"b{i}_bn"] = port_batchnorm(
+            sd, f"classifier.0.convs.{i}.1")
+    aspp_p["pool_conv"] = {
+        "kernel": convert_conv(sd["classifier.0.convs.4.1.weight"])}
+    aspp_p["pool_bn"], aspp_s["pool_bn"] = port_batchnorm(
+        sd, "classifier.0.convs.4.2")
+    aspp_p["proj_conv"] = {
+        "kernel": convert_conv(sd["classifier.0.project.0.weight"])}
+    aspp_p["proj_bn"], aspp_s["proj_bn"] = port_batchnorm(
+        sd, "classifier.0.project.1")
+    head_bn_p, head_bn_s = port_batchnorm(sd, "classifier.2")
+    params = {"backbone": bb_p, "aspp": aspp_p,
+              "head_conv": {"kernel": convert_conv(sd["classifier.1.weight"])},
+              "head_bn": head_bn_p}
+    ckpt_classes = sd["classifier.4.weight"].shape[0]
+    if n_classes is None or ckpt_classes == n_classes:
+        params["classifier"] = {
+            "kernel": convert_conv(sd["classifier.4.weight"]),
+            "bias": sd["classifier.4.bias"]}
+    stats = {"backbone": bb_s, "aspp": aspp_s, "head_bn": head_bn_s}
+    return params, stats
 
 
 def _strip_module(sd: dict) -> dict:
@@ -443,3 +527,55 @@ def port_pix2pix_discriminator(sd: dict, n_layers: int = 3):
     params["head"] = {"kernel": convert_conv(sd[f"model.{idx}.weight"]),
                       "bias": sd[f"model.{idx}.bias"]}
     return params, stats
+
+
+# ---------------------------------------------------------------------------
+# --run.seg_pretrained: one entry point for "start the seg net from the same
+# weights the reference does" (torch.hub / timm checkpoints, SURVEY.md §2.5
+# pretrained-weight row). Detects the checkpoint family by key shape and
+# returns partial (params, stats) trees to overlay on a fresh init.
+# ---------------------------------------------------------------------------
+
+def overlay_pytree(init_tree, ported_tree):
+    """Recursively overlay ``ported_tree``'s leaves (as f32 jnp arrays) onto
+    ``init_tree``; subtrees absent from the port keep their fresh init (the
+    reference's strict=False-style partial load, e.g. a fresh num_classes=1
+    head over a COCO-21-class checkpoint)."""
+    import jax.numpy as jnp
+    if not isinstance(ported_tree, dict):
+        return jnp.asarray(np.asarray(ported_tree), jnp.float32)
+    out = dict(init_tree) if isinstance(init_tree, dict) else {}
+    for k, v in ported_tree.items():
+        out[k] = overlay_pytree(out.get(k, {}), v)
+    return out
+
+
+def port_seg_checkpoint(seg_model: str, sd: dict, n_classes: int = 1):
+    """Dispatch a torch segmentation checkpoint to the right porter.
+
+    seg_model 'deeplab' accepts either a full torchvision
+    ``deeplabv3_resnet50`` state_dict (``backbone.*`` + ``classifier.*``) or
+    an ImageNet ``resnet50`` state_dict (backbone-only overlay — what
+    deeplab/deeplabv3.py:8 starts from via the builder's weights_backbone
+    default); 'vit' a swin-tiny checkpoint (timm files wrap it as
+    ``{'model': ...}``, the reference unwraps at vision_transformer.py:58);
+    'unet' the reference unet/ state_dict; 'deeplabv2' the deeplabv2/ one.
+    -> (params_overlay, stats_overlay)."""
+    sd = _strip_module(sd)
+    if seg_model == "deeplab":
+        if "classifier.0.convs.0.0.weight" in sd:
+            return port_deeplabv3(sd, n_classes=n_classes)
+        if "conv1.weight" in sd:
+            p, s = port_resnet50_backbone(sd)
+            return {"backbone": p}, {"backbone": s}
+        raise KeyError("unrecognized deeplab checkpoint naming "
+                       "(need torchvision deeplabv3_resnet50 or resnet50 keys)")
+    if seg_model == "vit":
+        if "model" in sd and isinstance(sd["model"], dict):
+            sd = sd["model"]
+        return port_swin_tiny(sd), {}
+    if seg_model == "unet":
+        return port_unet_milesial(sd)
+    if seg_model == "deeplabv2":
+        return port_deeplabv2(sd)
+    raise NotImplementedError(f"seg_pretrained for seg_model={seg_model!r}")

@@ -103,6 +103,116 @@ def test_deeplabv2_forward_matches_torch_oracle():
                                atol=2e-4, rtol=1e-4)
 
 
+def test_deeplabv3_forward_matches_torch_oracle():
+    """Port a randomly-initialized torchvision-naming deeplabv3_resnet50
+    (TorchDeepLabV3 oracle) into our flax tree and check eval-mode logits
+    match — validates the torchvision first-block-dilation semantics
+    (layer3.0 dil 1 / layer4.0 dil 2) and the full head mapping, so a real
+    torch.hub checkpoint is forward-equivalent after port_deeplabv3."""
+    import torch
+    from semantic_segmentation_tpu.models.deeplab import DeepLabV3
+    from semantic_segmentation_tpu.utils.torch_port import port_deeplabv3
+    from torch_oracles import TorchDeepLabV3
+
+    torch.manual_seed(0)
+    layers = (1, 1, 1, 1)
+    oracle = TorchDeepLabV3(n_classes=2, layers=layers).eval()
+    sd = {k: v.detach().numpy() for k, v in oracle.state_dict().items()}
+    params, stats = port_deeplabv3(sd, layers=layers)
+
+    model = DeepLabV3(n_channels=1, n_classes=2, layers=layers,
+                      dtype=jnp.float32)
+    x = np.random.default_rng(0).normal(size=(1, 64, 64, 1)).astype(np.float32)
+    ours = model.apply({"params": params, "batch_stats": stats},
+                       jnp.asarray(x), train=False,
+                       rngs={"dropout": jax.random.key(0)})
+    with torch.no_grad():
+        theirs = oracle(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(np.asarray(ours),
+                               theirs.numpy().transpose(0, 2, 3, 1),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_deeplabv3_port_tree_matches_init():
+    """Ported tree structurally identical to a fresh init, so optimizer and
+    checkpoint states built from init accept the pretrained weights."""
+    import torch
+    from semantic_segmentation_tpu.models.deeplab import DeepLabV3
+    from semantic_segmentation_tpu.utils.torch_port import port_deeplabv3
+    from torch_oracles import TorchDeepLabV3
+
+    layers = (1, 1, 1, 1)
+    oracle = TorchDeepLabV3(n_classes=1, layers=layers)
+    sd = {k: v.detach().numpy() for k, v in oracle.state_dict().items()}
+    params, stats = port_deeplabv3(sd, layers=layers)
+    model = DeepLabV3(n_channels=1, n_classes=1, layers=layers,
+                      dtype=jnp.float32)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 1)),
+                           train=False)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(variables["params"]))
+    assert (jax.tree_util.tree_structure(jax.tree.map(jnp.asarray, stats))
+            == jax.tree_util.tree_structure(variables["batch_stats"]))
+
+
+def test_deeplabv3_imagenet_backbone_overlay():
+    """--run.seg_pretrained with a plain ImageNet resnet50 state_dict (what
+    deeplab/deeplabv3.py:8 actually starts from: the torchvision builder's
+    weights_backbone default) overlays the backbone and keeps the fresh
+    head: the backbone features must match torch exactly."""
+    import torch
+    from semantic_segmentation_tpu.models.deeplab import (DeepLabV3,
+                                                          ResNet50Backbone)
+    from semantic_segmentation_tpu.utils.torch_port import (
+        overlay_pytree, port_seg_checkpoint)
+    from torch_oracles import _TV3ResNet
+
+    torch.manual_seed(1)
+    layers = (1, 1, 1, 1)
+    tbb = _TV3ResNet(layers).eval()
+    sd = {k: v.detach().numpy() for k, v in tbb.state_dict().items()}
+    sd["fc.weight"] = np.zeros((1000, 2048), np.float32)  # ImageNet naming
+    sd["fc.bias"] = np.zeros((1000,), np.float32)
+    p_over, s_over = port_seg_checkpoint("deeplab", sd, n_classes=1)
+    assert set(p_over) == {"backbone"} and set(s_over) == {"backbone"}
+
+    model = DeepLabV3(n_channels=1, n_classes=1, layers=layers,
+                      dtype=jnp.float32)
+    fresh = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 1)),
+                       train=False)
+    params = overlay_pytree(fresh["params"], p_over)
+    stats = overlay_pytree(fresh["batch_stats"], s_over)
+    # head untouched by the overlay
+    np.testing.assert_array_equal(
+        np.asarray(params["classifier"]["kernel"]),
+        np.asarray(fresh["params"]["classifier"]["kernel"]))
+    # backbone forward-equivalent to torch
+    bb = ResNet50Backbone(layers, dtype=jnp.float32)
+    x = np.random.default_rng(1).normal(size=(1, 64, 64, 3)).astype(np.float32)
+    ours = bb.apply({"params": params["backbone"],
+                     "batch_stats": stats["backbone"]},
+                    jnp.asarray(x), train=False)
+    with torch.no_grad():
+        theirs = tbb(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(np.asarray(ours),
+                               theirs.numpy().transpose(0, 2, 3, 1),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_deeplabv3_class_mismatch_drops_head():
+    """A COCO-21-class checkpoint ported with n_classes=1 keeps everything
+    but the final 1x1 (the reference's num_classes=1 rebuild constructs a
+    fresh head)."""
+    import torch
+    from semantic_segmentation_tpu.utils.torch_port import port_deeplabv3
+    from torch_oracles import TorchDeepLabV3
+
+    oracle = TorchDeepLabV3(n_classes=21, layers=(1, 1, 1, 1))
+    sd = {k: v.detach().numpy() for k, v in oracle.state_dict().items()}
+    params, _ = port_deeplabv3(sd, layers=(1, 1, 1, 1), n_classes=1)
+    assert "classifier" not in params and "head_conv" in params
+
+
 def test_deeplabv2_tree_matches_init():
     """The ported tree must be structurally identical to a fresh init (so
     optimizers/checkpoints built from init accept ported weights)."""

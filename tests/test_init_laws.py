@@ -93,7 +93,6 @@ def test_normal_default_is_untouched():
     (no re-draw), preserving reproducibility of every existing run."""
     a = Pix2Pix(netG="unet_32", ngf=8, ndf=8,
                 compute_dtype=jnp.float32).init(jax.random.key(3), 32)
-    b = _model("normal")  # same law through the explicit arg
     b = Pix2Pix(netG="unet_32", ngf=8, ndf=8, compute_dtype=jnp.float32,
                 init_type="normal").init(jax.random.key(3), 32)
     for (pa, la), (pb, lb) in zip(_flat(a.g_params), _flat(b.g_params)):

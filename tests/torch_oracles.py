@@ -661,6 +661,112 @@ class TorchDeepLabV2(nn.Module):
                                          align_corners=True)
 
 
+class _TV3ResNet(nn.Module):
+    """torchvision resnet.ResNet(Bottleneck, layers,
+    replace_stride_with_dilation=[False, True, True]) restated naming-exact
+    (the backbone of ``deeplabv3_resnet50``, deeplab/deeplabv3.py:8).
+    torchvision's ``_make_layer`` hands the FIRST block of a dilated stage
+    the *previous* dilation (layer3.0 dil 1, layer4.0 dil 2) and strides the
+    3x3; the bottleneck body is identical to _TV2Bottleneck."""
+
+    def __init__(self, layers=(3, 4, 6, 3)):
+        super().__init__()
+        self.inplanes, self.dilation = 64, 1
+        self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+        self.layer1 = self._make_layer(64, layers[0])
+        self.layer2 = self._make_layer(128, layers[1], stride=2)
+        self.layer3 = self._make_layer(256, layers[2], stride=2, dilate=True)
+        self.layer4 = self._make_layer(512, layers[3], stride=2, dilate=True)
+
+    def _make_layer(self, planes, blocks, stride=1, dilate=False):
+        previous_dilation = self.dilation
+        if dilate:
+            self.dilation *= stride
+            stride = 1
+        downsample = None
+        if stride != 1 or self.inplanes != planes * 4:
+            downsample = nn.Sequential(
+                nn.Conv2d(self.inplanes, planes * 4, 1, stride=stride,
+                          bias=False),
+                nn.BatchNorm2d(planes * 4))
+        mods = [_TV2Bottleneck(self.inplanes, planes, stride,
+                               previous_dilation, downsample)]
+        self.inplanes = planes * 4
+        for _ in range(1, blocks):
+            mods.append(_TV2Bottleneck(self.inplanes, planes, 1,
+                                       self.dilation))
+        return nn.Sequential(*mods)
+
+    def forward(self, x):
+        h = self.maxpool(torch.relu(self.bn1(self.conv1(x))))
+        return self.layer4(self.layer3(self.layer2(self.layer1(h))))
+
+
+class _TV3ASPPPooling(nn.Sequential):
+    """torchvision deeplabv3.ASPPPooling: global pool -> 1x1 -> BN -> ReLU,
+    bilinearly broadcast back (align_corners=False)."""
+
+    def __init__(self, in_ch, out_ch):
+        super().__init__(nn.AdaptiveAvgPool2d(1),
+                         nn.Conv2d(in_ch, out_ch, 1, bias=False),
+                         nn.BatchNorm2d(out_ch), nn.ReLU())
+
+    def forward(self, x):
+        size = x.shape[-2:]
+        for mod in self:
+            x = mod(x)
+        return F.interpolate(x, size=size, mode="bilinear",
+                             align_corners=False)
+
+
+class _TV3ASPP(nn.Module):
+    """torchvision deeplabv3.ASPP: convs.0 = 1x1+BN+ReLU, convs.1-3 = dilated
+    3x3 at rates (12, 24, 36), convs.4 = pooling branch; project = 1x1+BN+
+    ReLU+Dropout(0.5) over the concat."""
+
+    def __init__(self, in_ch, rates=(12, 24, 36), out_ch=256):
+        super().__init__()
+        mods = [nn.Sequential(nn.Conv2d(in_ch, out_ch, 1, bias=False),
+                              nn.BatchNorm2d(out_ch), nn.ReLU())]
+        for r in rates:
+            mods.append(nn.Sequential(
+                nn.Conv2d(in_ch, out_ch, 3, padding=r, dilation=r,
+                          bias=False),
+                nn.BatchNorm2d(out_ch), nn.ReLU()))
+        mods.append(_TV3ASPPPooling(in_ch, out_ch))
+        self.convs = nn.ModuleList(mods)
+        self.project = nn.Sequential(
+            nn.Conv2d(len(mods) * out_ch, out_ch, 1, bias=False),
+            nn.BatchNorm2d(out_ch), nn.ReLU(), nn.Dropout(0.5))
+
+    def forward(self, x):
+        return self.project(torch.cat([c(x) for c in self.convs], dim=1))
+
+
+class TorchDeepLabV3(nn.Module):
+    """torchvision 0.14 ``deeplabv3_resnet50`` restated naming-exact
+    (backbone.* via IntermediateLayerGetter keeps resnet names; classifier =
+    DeepLabHead Sequential(ASPP, 3x3 conv, BN, ReLU, 1x1)), wrapped with the
+    reference's grayscale->3ch expand (deeplab/deeplabv3.py:11-15). No
+    aux_classifier: weights=None leaves aux_loss False."""
+
+    def __init__(self, n_classes=1, layers=(3, 4, 6, 3)):
+        super().__init__()
+        self.backbone = _TV3ResNet(layers)
+        self.classifier = nn.Sequential(
+            _TV3ASPP(2048), nn.Conv2d(256, 256, 3, padding=1, bias=False),
+            nn.BatchNorm2d(256), nn.ReLU(), nn.Conv2d(256, n_classes, 1))
+
+    def forward(self, x):
+        if x.shape[1] == 1:
+            x = x.expand(-1, 3, -1, -1)
+        h = self.classifier(self.backbone(x))
+        return F.interpolate(h, size=x.shape[-2:], mode="bilinear",
+                             align_corners=False)
+
+
 class TorchBridgeOracle:
     """BrownianBridgeModel.py:42-221 restated: the m_t/variance schedule and
     linear skip-sampling table (register_schedule :42-79), q_sample (:128-146),
