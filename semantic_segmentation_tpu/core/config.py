@@ -54,6 +54,11 @@ class ModelConfig:
     classes: int = 1
     bilinear: bool = False
     base_features: int = 64          # U-Net width (64 = reference)
+    # Swin-UNet stochastic depth (swin_tiny_patch4_window7_224_lite.yaml:4
+    # DROP_PATH_RATE; applied per block at reference :209-210, :662-664)
+    drop_path_rate: float = 0.2
+    # --use-checkpoint (train_options.py:87): remat transformer blocks
+    use_checkpoint: bool = False
     compute_dtype: str = "bfloat16"  # AMP analogue; 'float32' to disable
     # phase-packed ConvTranspose lowering (ops/conv.py): s^nd x the MXU
     # output-lane utilization where C_out <= 128 (shape-dispatched; see the

@@ -42,17 +42,25 @@ def rmsprop_torch(lr: float, alpha: float = 0.99, eps: float = 1e-8,
     return optax.chain(*tx)
 
 
+def _unwrap_multisteps(opt_state):
+    """Reach through an optax.MultiSteps wrapper (gradient accumulation) to
+    the inner chain state that carries the injected learning_rate."""
+    return (opt_state.inner_opt_state
+            if hasattr(opt_state, "inner_opt_state") else opt_state)
+
+
 def set_learning_rate(opt_state, lr: float):
     """Overwrite the injected learning_rate hyperparam (last transform in the
-    chains above)."""
+    chains above, possibly under a MultiSteps wrapper)."""
     import jax.numpy as jnp
-    outer = opt_state[-1]
+    outer = _unwrap_multisteps(opt_state)[-1]
     outer.hyperparams["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
     return opt_state
 
 
 def get_learning_rate(opt_state) -> float:
-    return float(opt_state[-1].hyperparams["learning_rate"])
+    return float(_unwrap_multisteps(opt_state)[-1]
+                 .hyperparams["learning_rate"])
 
 
 def lr_schedule(policy: str, base_lr: float, n_epochs: int, epoch_count: int = 1,

@@ -61,12 +61,16 @@ def seg_loss_fn(logits, masks, n_classes: int = 1, loss_type: str = "dice"):
 class SegProblem:
     def __init__(self, seg_model="unet", n_channels=1, n_classes=1,
                  lr=1e-4, loss_type="dice", compute_dtype=jnp.bfloat16,
-                 **model_kw):
+                 accumulate=1, **model_kw):
         self.model = create_seg_model(seg_model, n_channels, n_classes,
                                       dtype=compute_dtype, **model_kw)
         self.n_classes = n_classes
         self.loss_type = loss_type
+        # accumulate: swin --accumulation-steps (train_options.py:85) for the
+        # seg optimizer — optax.MultiSteps averages k micro-grads per update
         self.tx = rmsprop_torch(lr)
+        if accumulate > 1:
+            self.tx = optax.MultiSteps(self.tx, every_k_schedule=accumulate)
 
     def init(self, rng, image_size=256, n_channels=None) -> SegState:
         nc = n_channels or self.model.n_channels

@@ -58,7 +58,10 @@ def _shift_attn_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray:
         for wsl in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
             img[:, hs, wsl, :] = cnt
             cnt += 1
-    mw = np.asarray(window_partition(jnp.asarray(img), ws))[..., 0]  # (nW, N)
+    # pure numpy (window_partition is reshape/transpose, numpy-compatible):
+    # must stay trace-free — this runs inside jax.checkpoint's trace when
+    # use_checkpoint rematerializes the block
+    mw = window_partition(img, ws)[..., 0]                           # (nW, N)
     diff = mw[:, None, :] - mw[:, :, None]
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
 
@@ -97,6 +100,15 @@ class WindowAttention(nn.Module):
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 
+def drop_path(x, rate: float, rng):
+    """Stochastic depth (timm DropPath, applied per residual branch at
+    reference :209-210): per-SAMPLE bernoulli keep mask, kept activations
+    scaled by 1/keep_prob — ``x.div(keep_prob) * floor(rand + keep)``."""
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
+    return x / keep * mask.astype(x.dtype)
+
+
 class SwinBlock(nn.Module):
     dim: int
     num_heads: int
@@ -104,6 +116,11 @@ class SwinBlock(nn.Module):
     window_size: int = 7
     shift_size: int = 0
     mlp_ratio: float = 4.0
+    # stochastic-depth rate for BOTH residual branches of this block
+    # (reference :209-210: x = shortcut + drop_path(attn);
+    #  x = x + drop_path(mlp)), independent draws per branch.
+    drop_path_rate: float = 0.0
+    deterministic: bool = True
     dtype: Any = None
 
     @nn.compact
@@ -129,12 +146,19 @@ class SwinBlock(nn.Module):
         x = window_reverse(attn, ws, hh, ww)
         if shift > 0:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
-        x = shortcut + x.reshape(b, n, c)
+        x = x.reshape(b, n, c)
+        live = self.drop_path_rate > 0.0 and not self.deterministic
+        if live:
+            k1, k2 = jax.random.split(self.make_rng("dropout"))
+            x = drop_path(x, self.drop_path_rate, k1)
+        x = shortcut + x
         y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype,
                      name="mlp_fc1")(y)
         y = nn.gelu(y)
         y = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(y)
+        if live:
+            y = drop_path(y, self.drop_path_rate, k2)
         return x + y
 
 
@@ -201,11 +225,26 @@ class SwinUnet(nn.Module):
     depths_decoder: tuple = (1, 2, 2, 2)
     num_heads: tuple = (3, 6, 12, 24)
     window_size: int = 7
+    # the lite yaml trains with stochastic depth: DROP_PATH_RATE 0.2
+    # (swin_tiny_patch4_window7_224_lite.yaml:4), linearly spaced over the
+    # encoder blocks (reference :663-664); decoder up-stages reuse the
+    # matching encoder stage's slice (:707-708). Needs an rngs={"dropout"}
+    # key in train mode.
+    drop_path_rate: float = 0.2
+    # --use-checkpoint (train_options.py:87): remat every SwinBlock
+    use_checkpoint: bool = False
     dtype: Any = jnp.bfloat16
+
+    def _dpr(self, stage: int, block: int) -> float:
+        """linspace(0, drop_path_rate, sum(depths)) indexed by encoder
+        stage/block; decoder blocks index the same table via their stage."""
+        table = np.linspace(0.0, self.drop_path_rate, sum(self.depths))
+        return float(table[sum(self.depths[:stage]) + block])
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        del train  # no batch norm; dropout path rate 0 in the lite config
+        # train gates stochastic depth only (no batch norm anywhere)
+        Block = nn.remat(SwinBlock) if self.use_checkpoint else SwinBlock
         b, H, W, c = x.shape
         if c == 1:
             x = jnp.broadcast_to(x, (b, H, W, 3))
@@ -225,11 +264,12 @@ class SwinUnet(nn.Module):
         res, dim = res0, self.embed_dim
         for li, depth in enumerate(self.depths):
             for bi in range(depth):
-                x = SwinBlock(dim, self.num_heads[li], (res, res),
-                              self.window_size,
-                              0 if bi % 2 == 0 else self.window_size // 2,
-                              dtype=self.dtype,
-                              name=f"enc{li}_blk{bi}")(x)
+                x = Block(dim, self.num_heads[li], (res, res),
+                          self.window_size,
+                          0 if bi % 2 == 0 else self.window_size // 2,
+                          drop_path_rate=self._dpr(li, bi),
+                          deterministic=not train, dtype=self.dtype,
+                          name=f"enc{li}_blk{bi}")(x)
             skips.append((x, res, dim))
             if li < nl - 1:
                 x = PatchMerging((res, res), dim, dtype=self.dtype,
@@ -246,11 +286,12 @@ class SwinUnet(nn.Module):
             x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
             x = nn.Dense(dim, dtype=self.dtype, name=f"skip_proj{li}")(x)
             for bi in range(self.depths_decoder[nl - 2 - li]):
-                x = SwinBlock(dim, self.num_heads[nl - 2 - li], (res, res),
-                              self.window_size,
-                              0 if bi % 2 == 0 else self.window_size // 2,
-                              dtype=self.dtype,
-                              name=f"dec{li}_blk{bi}")(x)
+                x = Block(dim, self.num_heads[nl - 2 - li], (res, res),
+                          self.window_size,
+                          0 if bi % 2 == 0 else self.window_size // 2,
+                          drop_path_rate=self._dpr(nl - 2 - li, bi),
+                          deterministic=not train, dtype=self.dtype,
+                          name=f"dec{li}_blk{bi}")(x)
         x = nn.LayerNorm(dtype=self.dtype, name="final_norm")(x)
         x = FinalPatchExpandX4((res, res), dim, dtype=self.dtype,
                                name="final_expand")(x)

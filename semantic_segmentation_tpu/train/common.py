@@ -47,6 +47,20 @@ def as_float_images(batch: dict) -> dict:
             for k, v in batch.items()}
 
 
+def seg_model_kwargs(cfg: Config) -> dict:
+    """Per-backbone construction kwargs from the config: U-Net width/ups
+    (--bilinear, base_features), Swin stochastic depth + remat
+    (DROP_PATH_RATE yaml:4, --use-checkpoint train_options.py:87)."""
+    if cfg.model.seg_model == "unet":
+        return {"bilinear": cfg.model.bilinear,
+                "base_features": cfg.model.base_features}
+    if cfg.model.seg_model in ("vit", "swin", "swin_unet"):
+        return {"drop_path_rate": cfg.model.drop_path_rate,
+                "use_checkpoint": cfg.model.use_checkpoint,
+                "img_size": cfg.data.image_size}
+    return {}
+
+
 def apply_seg_pretrained(cfg: Config, seg_state):
     """--run.seg_pretrained: overlay a ported torch checkpoint onto the fresh
     seg-net init (deeplab/deeplabv3.py:8's pretrained-backbone start, swin

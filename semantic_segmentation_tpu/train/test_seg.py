@@ -26,9 +26,8 @@ from semantic_segmentation_tpu.utils.serialization import load_pytree
 
 def run(cfg: Config, model_file: str = ""):
     dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
-    kw = ({"bilinear": cfg.model.bilinear,
-           "base_features": cfg.model.base_features}
-          if cfg.model.seg_model == "unet" else {})
+    from semantic_segmentation_tpu.train.common import seg_model_kwargs
+    kw = seg_model_kwargs(cfg)
     problem = SegProblem(cfg.model.seg_model, cfg.model.output_nc,
                          cfg.model.classes, lr=cfg.optim.unet_lr,
                          compute_dtype=dtype, **kw)

@@ -152,14 +152,14 @@ def build_engine_and_state(cfg: Config, rng):
     """Construct models, problems, engine, and the initial EngineState."""
     dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
     p2p = build_pix2pix(cfg)
-    kw = ({"bilinear": cfg.model.bilinear,
-           "base_features": cfg.model.base_features}
-          if cfg.model.seg_model == "unet" else {})
+    from semantic_segmentation_tpu.train.common import seg_model_kwargs
+    kw = seg_model_kwargs(cfg)
     seg = SegProblem(cfg.model.seg_model, cfg.model.output_nc,
                      cfg.model.classes, lr=cfg.optim.unet_lr,
                      loss_type="jaccard" if cfg.data.dataset.startswith("isic")
                      else "dice",
-                     compute_dtype=dtype, **kw)
+                     compute_dtype=dtype,
+                     accumulate=cfg.optim.accumulate, **kw)
     k1, k2 = jax.random.split(rng)
     p2p_state = p2p.init(k1, cfg.data.image_size)
     if cfg.run.pretrained_pix2pix:

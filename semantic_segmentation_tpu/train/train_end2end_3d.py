@@ -71,6 +71,10 @@ class GenSeg3D:
         self.tx_g = adam_torch(cfg.optim.lr, cfg.optim.beta1)
         self.tx_d = adam_torch(cfg.optim.lr, cfg.optim.beta1)
         self.tx_u = rmsprop_torch(cfg.optim.unet_lr)
+        if cfg.optim.accumulate > 1:  # swin --accumulation-steps analogue
+            import optax
+            self.tx_u = optax.MultiSteps(
+                self.tx_u, every_k_schedule=cfg.optim.accumulate)
 
     # -- applies ------------------------------------------------------------
     def g_apply(self, params, stats, a, arch, train, rng=None):

@@ -48,6 +48,7 @@ def build(cfg: Config, bbdm: BBDMModel | None = None,
     seg = SegProblem("unet", cfg.model.output_nc, cfg.model.classes,
                      lr=cfg.optim.unet_lr, loss_type="jaccard",
                      compute_dtype=dtype,
+                     accumulate=cfg.optim.accumulate,
                      base_features=cfg.model.base_features)
     loss_lambda = cfg.optim.loss_lambda
     # parity default: anything but "photometric" means the reference's plain

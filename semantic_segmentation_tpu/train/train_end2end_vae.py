@@ -54,6 +54,7 @@ def build(cfg: Config, model: SoftIntroVAE | None = None,
     seg = SegProblem("unet", cfg.model.output_nc, cfg.model.classes,
                      lr=cfg.optim.unet_lr, loss_type="jaccard",
                      compute_dtype=dtype,
+                     accumulate=cfg.optim.accumulate,
                      base_features=cfg.model.base_features)
     import optax
     tx_dec = optax.adam(hp.lr_d)

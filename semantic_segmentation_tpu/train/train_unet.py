@@ -20,7 +20,8 @@ from semantic_segmentation_tpu.data.pipeline import batch_iterator, eval_batches
 from semantic_segmentation_tpu.models.seg import SegProblem
 from semantic_segmentation_tpu.ops.metrics import eval_batch_score
 from semantic_segmentation_tpu.train.common import (apply_seg_pretrained,
-                                                    load_splits)
+                                                    load_splits,
+                                                    seg_model_kwargs)
 
 import jax.numpy as jnp
 
@@ -37,12 +38,11 @@ def evaluate_split(problem: SegProblem, state, data, batch_size, n_classes,
 
 def train(cfg: Config, train_iters: int | None = None):
     dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
-    kw = ({"bilinear": cfg.model.bilinear,
-           "base_features": cfg.model.base_features}
-          if cfg.model.seg_model == "unet" else {})
+    kw = seg_model_kwargs(cfg)
     problem = SegProblem(cfg.model.seg_model, cfg.model.output_nc,
                          cfg.model.classes, lr=cfg.optim.unet_lr,
-                         compute_dtype=dtype, **kw)
+                         compute_dtype=dtype,
+                         accumulate=cfg.optim.accumulate, **kw)
     state = problem.init(jax.random.key(cfg.run.seed), cfg.data.image_size)
     state = apply_seg_pretrained(cfg, state)
     splits = load_splits(cfg)
