@@ -1,0 +1,142 @@
+"""Real MULTI-PROCESS data-parallel harness (BBDM DDP analogue, run for real).
+
+The reference's only multi-process path is BBDM's ``mp.spawn`` + NCCL DDP
+(``BBDM/main.py:70-87,102-127``). Our equivalent is one global
+``jax.sharding.Mesh`` spanning processes after ``jax.distributed.initialize``
+— this script actually exercises that branch (``--run.multihost`` →
+``parallel/mesh.maybe_init_distributed``) on CPU with gloo collectives, so
+the multi-process code path has executed end-to-end before it is ever
+pointed at a TPU pod.
+
+Usage (what tests/test_multiprocess.py does):
+
+  # two cooperating processes, 2 virtual CPU devices each = 4-device mesh
+  python scripts/multiprocess_dp.py --process-id 0 --out /tmp/p0.json &
+  python scripts/multiprocess_dp.py --process-id 1 --out /tmp/p1.json
+  # single-process reference on a local 4-device mesh
+  python scripts/multiprocess_dp.py --process-id -1 --out /tmp/single.json
+
+Each run builds the tiny flagship end2end engine (identical seed), assembles
+the SAME deterministic global batches — multi-process from HOST-LOCAL shards
+via ``jax.make_array_from_process_local_data`` (the DistributedSampler
+replacement) — runs ``engine.engine_step`` twice, and writes a JSON digest
+(per-step metrics + a parameter checksum). Digests must agree across all
+three runs up to collective reduction-order rounding.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--process-id", type=int, default=-1,
+                    help="-1 = single-process reference run")
+    ap.add_argument("--num-processes", type=int, default=2)
+    ap.add_argument("--port", type=int, default=12357)
+    ap.add_argument("--local-devices", type=int, default=2)
+    ap.add_argument("--steps", type=int, default=2)
+    ap.add_argument("--out", required=True)
+    args = ap.parse_args()
+
+    multi = args.process_id >= 0
+    n_local = args.local_devices if multi \
+        else args.local_devices * args.num_processes
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={n_local}")
+
+    from semantic_segmentation_tpu.core.cache import enable_persistent_cache
+    enable_persistent_cache()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    import jax.numpy as jnp  # noqa: F401  (forces backend selection now)
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from semantic_segmentation_tpu.core.config import parse_config
+    from semantic_segmentation_tpu.parallel.mesh import (
+        make_data_mesh, maybe_init_distributed)
+    from semantic_segmentation_tpu.train.train_end2end import (
+        build_engine_and_state)
+
+    cfg = parse_config([])
+    cfg.data.synthetic = True
+    cfg.data.image_size = 32
+    cfg.data.batch_size = args.local_devices * args.num_processes
+    cfg.model.compute_dtype = "float32"
+    cfg.model.netG = "unet_32"
+    cfg.model.ngf = 8
+    cfg.model.ndf = 8
+    cfg.model.base_features = 8
+    if multi:
+        # THE branch under test (parallel/mesh.py): --run.multihost with an
+        # explicit coordinator (no TPU/Slurm auto-detection on plain CPU)
+        cfg.run.multihost = True
+        cfg.run.coordinator = f"localhost:{args.port}"
+        cfg.run.num_processes = args.num_processes
+        cfg.run.process_id = args.process_id
+    is_multi = maybe_init_distributed(cfg)
+    assert is_multi == multi, (is_multi, jax.process_count())
+
+    n_global = args.local_devices * args.num_processes  # same mesh both ways
+    mesh = make_data_mesh(n_global)
+    engine, state, p2p, seg = build_engine_and_state(cfg, jax.random.key(0))
+
+    B = cfg.data.batch_size
+    from semantic_segmentation_tpu.data import (SyntheticSegDataset,
+                                                stack_dataset)
+    pool = stack_dataset(SyntheticSegDataset(n=B * (2 * args.steps),
+                                             size=32))
+
+    def global_batch(i):
+        """Deterministic global batch i (identical on every process)."""
+        return {k: np.asarray(v[i * B:(i + 1) * B]) for k, v in pool.items()}
+
+    def to_global(tree, spec):
+        """Host-local shard -> global array (every process holds the full
+        deterministic batch; each contributes only its own rows)."""
+        sh = NamedSharding(mesh, spec)
+        lo = jax.process_index() * args.local_devices if multi else 0
+        hi = lo + (args.local_devices if multi else B)
+        b_axis = len(spec) - 1  # P("data") -> 0, P(None, "data") -> 1
+
+        def place(x):
+            local = np.take(np.asarray(x), np.arange(lo, hi), axis=b_axis)
+            return jax.make_array_from_process_local_data(sh, local)
+        return jax.tree.map(place, tree)
+
+    def replicate(tree):
+        sh = NamedSharding(mesh, P())
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)), tree)
+
+    state = replicate(state)
+    names = tuple(p.name for p in engine.problems)
+    digest = {"metrics": [], "process_count": jax.process_count(),
+              "devices": n_global}
+    for step in range(args.steps):
+        batch = global_batch(step)
+        stack = {n: to_global(jax.tree.map(lambda x: x[None], batch),
+                              P(None, "data")) for n in names}
+        val = to_global(global_batch(args.steps + step), P("data"))
+        state, metrics = engine.engine_step(state, stack, val,
+                                            jax.random.key(step))
+        digest["metrics"].append(
+            {k: float(v) for k, v in metrics.items()})
+    checksum = sum(float(jnp.sum(jnp.abs(leaf)))
+                   for leaf in jax.tree.leaves(state.params))
+    digest["checksum"] = checksum
+    with open(args.out, "w") as f:
+        json.dump(digest, f)
+    print(f"process {args.process_id}: wrote {args.out}", flush=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

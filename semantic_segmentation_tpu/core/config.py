@@ -148,6 +148,12 @@ class RunConfig:
                                      # entry (multi-process DDP analogue,
                                      # BBDM/main.py:70-87; mesh then spans
                                      # hosts over DCN)
+    coordinator: str = ""            # explicit jax.distributed args for
+    num_processes: int = 0           # launchers outside TPU/Slurm/OMPI
+    process_id: int = -1             # auto-detection (e.g. the local
+                                     # 2-process harness scripts/
+                                     # multiprocess_dp.py); '' / 0 / -1 =
+                                     # let JAX auto-detect
     spatial_axis: int = 1            # 3D spatial-parallel mesh size (volume
                                      # depth sharded over chips; XLA inserts
                                      # the conv halo exchanges): 1 = off,

@@ -21,11 +21,19 @@ def maybe_init_distributed(cfg) -> bool:
 
     When ``cfg.run.multihost`` is set, calls ``jax.distributed.initialize()``
     — coordinator address / process count / process id come from the TPU
-    metadata or the standard JAX env vars. Must run before first device use.
-    Returns True when running multi-process afterwards.
+    metadata (or Slurm/OMPI detection), or explicitly from
+    ``cfg.run.coordinator/num_processes/process_id`` for launchers outside
+    those environments (the local CPU harness scripts/multiprocess_dp.py).
+    Must run before first device use. Returns True when running
+    multi-process afterwards.
     """
     if getattr(cfg.run, "multihost", False):
-        jax.distributed.initialize()
+        kw = {}
+        if getattr(cfg.run, "coordinator", ""):
+            kw = dict(coordinator_address=cfg.run.coordinator,
+                      num_processes=cfg.run.num_processes,
+                      process_id=cfg.run.process_id)
+        jax.distributed.initialize(**kw)
     return jax.process_count() > 1
 
 
