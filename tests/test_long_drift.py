@@ -133,12 +133,12 @@ class TorchE2EOracle:
 
 
 def test_long_drift_end2end(tmp_path):
-    """Measured divergence profile of this pairing (200 steps, f32 CPU):
-    losses track to ~1e-3 relative for the first tens of steps, then the
-    chaotic small-batch GAN dynamics amplify f32 accumulation-order noise;
-    the 25-step windowed-mean unet loss stays within a few percent and the
-    final segmentation Dice (the quantity BASELINE.md targets) stays within
-    +-0.5 pt. Assertions encode that envelope."""
+    """Measured divergence profile of this pairing (200 steps, f32 CPU,
+    this box): per-step losses track to <=5e-3 relative over the first 20
+    steps; the 25-step windowed-mean unet loss drifts at most 0.24%
+    relative over the full run; final segmentation Dice (the quantity
+    BASELINE.md targets at +-0.5 pt) lands 0.5527 (ours) vs 0.5498 (torch)
+    = 0.29 pt apart. Assertions encode that envelope with headroom."""
     from semantic_segmentation_tpu.ops.metrics import eval_batch_score
     from semantic_segmentation_tpu.train.train_end2end import (
         build_engine_and_state, build_problems)
@@ -219,10 +219,13 @@ def test_long_drift_end2end(tmp_path):
 
     # (ii) long-phase: 25-step windowed means of the unet loss stay within
     # the measured f32-chaos envelope
-    a = np.asarray(ours["unet"]).reshape(-1, 25).mean(axis=1)
-    b = np.asarray(theirs["unet"]).reshape(-1, 25).mean(axis=1)
+    n_win = (N_STEPS // 25) * 25
+    a = np.asarray(ours["unet"][:n_win]).reshape(-1, 25).mean(axis=1)
+    b = np.asarray(theirs["unet"][:n_win]).reshape(-1, 25).mean(axis=1)
     rel = np.abs(a - b) / np.maximum(np.abs(b), 1e-6)
-    assert rel.max() < 0.15, f"windowed unet-loss drift {rel}"
+    # measured 0.0024 at 200 steps on this box; 0.05 leaves headroom for
+    # other BLAS/ISA backends without weakening the claim
+    assert rel.max() < 0.05, f"windowed unet-loss drift {rel}"
 
     # (iii) final Dice parity within +-0.5 pt on a held-out set, both nets
     # evaluated through the SAME eval code (torch weights ported over)
