@@ -46,10 +46,68 @@ BASELINE_ITERS_PER_SEC = 5000.0 / (1.5 * 3600.0)  # A100-40G reference
 S = 25  # chunk size (one validation interval)
 
 
+def run_stage_3d() -> dict:
+    """GenSeg-3D bilevel throughput at the full reference regime (64^3
+    crops, batch 1, 6-down 3D NAS generator — the scripts/bench_3d.py
+    measurement folded into the headline bench so the 3D row is re-measured
+    every round)."""
+    from semantic_segmentation_tpu.core.cache import enable_persistent_cache
+    enable_persistent_cache()
+    import jax
+    import jax.numpy as jnp
+    from semantic_segmentation_tpu.core.config import parse_config
+    from semantic_segmentation_tpu.core.optim import adam_torch
+    from semantic_segmentation_tpu.data.pipeline import (device_put_split,
+                                                         stack_dataset)
+    from semantic_segmentation_tpu.data.volume import SyntheticVolumeDataset
+    from semantic_segmentation_tpu.engine.bilevel import BilevelEngine
+    from semantic_segmentation_tpu.train.train_end2end_3d import GenSeg3D
+
+    cfg = parse_config([], preset="end2end_3d")
+    cfg.data.synthetic = True
+    crop, batch = 64, cfg.data.batch_size
+    model = GenSeg3D(cfg, num_downs=6, upsampling="linear")
+    problems, outer_loss = model.build_problems()
+    arch_tx = adam_torch(cfg.optim.arch_lr, 0.5,
+                         weight_decay=cfg.optim.arch_weight_decay)
+    engine = BilevelEngine(problems, outer_loss, arch_tx,
+                           unroll_steps=cfg.engine.unroll_steps,
+                           roll_back=cfg.engine.roll_back,
+                           hypergrad=cfg.engine.hypergrad)
+    state = model.init_state(engine, jax.random.key(0), crop)
+    data = stack_dataset(SyntheticVolumeDataset(n=4, size=crop))
+    train_dev = device_put_split({k: np.asarray(v) for k, v in data.items()})
+    val_dev = device_put_split(
+        {k: np.asarray(v)[:2] for k, v in data.items()})
+    names = ("netG", "netD", "unet")
+    root = jax.random.key(1)
+    rng = np.random.default_rng(0)
+    K = cfg.engine.unroll_steps
+
+    def run_chunk(state, i):
+        idx = {n: rng.integers(0, 4, size=(S, K, batch)) for n in names}
+        vidx = rng.integers(0, 2, size=(S, batch))
+        return engine.engine_run_chunk(state, train_dev, val_dev, idx, vidx,
+                                       jnp.int32(i * S), root, names)
+
+    state, metrics = run_chunk(state, 0)   # compile + warmup
+    jax.device_get(metrics)                # true sync (tunneled backend)
+    t0 = time.perf_counter()
+    for i in range(1, 5):
+        state, metrics = run_chunk(state, i)
+    jax.device_get(metrics)
+    return {"iters_per_sec": 4 * S / (time.perf_counter() - t0),
+            "batch_size": batch, "crop": crop,
+            "device_kind": jax.devices()[0].device_kind,
+            "n_devices": jax.device_count()}
+
+
 def run_stage(stage: str) -> dict:
     """One measurement in a private process/HBM. stage:
     'headline' (shipped preset, batch 2), 'darts' (unelided, batch 2),
-    'capacity' (shipped preset, batch 8)."""
+    'capacity' (shipped preset, batch 8), 'bench3d' (GenSeg-3D, 64^3)."""
+    if stage == "bench3d":
+        return run_stage_3d()
     from semantic_segmentation_tpu.core.cache import enable_persistent_cache
     enable_persistent_cache()
     import jax
@@ -118,7 +176,7 @@ def run_stage(stage: str) -> dict:
 
 def main():
     results = {}
-    for stage in ("capacity", "headline", "darts"):
+    for stage in ("capacity", "headline", "darts", "bench3d"):
         # the tunneled TPU backend can be transiently UNAVAILABLE; a failed
         # stage is retried with backoff rather than voiding the whole bench
         for attempt in range(3):
@@ -134,6 +192,9 @@ def main():
                   f"{proc.stderr[-300:]}", file=sys.stderr)
             time.sleep(60 * (attempt + 1))
         else:
+            if stage == "bench3d":   # auxiliary row: omit rather than void
+                results[stage] = {"iters_per_sec": None}
+                continue
             print(json.dumps({"metric": "end2end_bilevel_iters_per_sec",
                               "value": None,
                               "error": f"stage {stage} failed 3x",
@@ -182,6 +243,10 @@ def main():
             2 * 8 * cap["iters_per_sec"] / n_dev, 2),
         "batch8_mfu": mfu_of(cap.get("flops_per_iter"),
                              cap["iters_per_sec"]),
+        # GenSeg-3D flagship at the full reference regime (64^3, batch 1;
+        # GenSeg-3D/train_end2end.py runs 5,000 such iterations)
+        "iters_per_sec_3d": (round(results["bench3d"]["iters_per_sec"], 4)
+                             if results["bench3d"]["iters_per_sec"] else None),
         "device_kind": head["device_kind"],
         "n_devices": n_dev,
     }))

@@ -45,6 +45,7 @@ def conv_nd(x, w_hwio, b=None, stride=1, padding=0, compute_dtype=None):
 
 
 _PACKED_TRANSPOSE = False
+_TAPMM_HEAD = False
 
 
 def use_packed_transpose(enable: bool) -> None:
@@ -53,6 +54,14 @@ def use_packed_transpose(enable: bool) -> None:
     compilation choice, not training state — same math either way."""
     global _PACKED_TRANSPOSE
     _PACKED_TRANSPOSE = bool(enable)
+
+
+def use_tapmm_head(enable: bool) -> None:
+    """Process-wide switch: route tiny-C_out 2D transposed convs (the
+    generator's 1-channel head) through the tap-unrolled matmul lowering
+    instead of phase packing. Same math; a compilation choice."""
+    global _TAPMM_HEAD
+    _TAPMM_HEAD = bool(enable)
 
 
 def conv_transpose_nd(x, w_hwio, b=None, stride=2, torch_padding=1,
@@ -81,6 +90,13 @@ def conv_transpose_nd(x, w_hwio, b=None, stride=2, torch_padding=1,
     if (_PACKED_TRANSPOSE and not any(opads)
             and all(k - 2 * p == st for k, p, st in zip(ks, pads, strides))
             and w_hwio.shape[-1] <= 128):
+        if (_TAPMM_HEAD and nsp == 2
+                and all(k % st == 0 for k, st in zip(ks, strides))
+                and (ks[0] // strides[0]) * (ks[1] // strides[1])
+                * strides[0] * strides[1] * w_hwio.shape[-1] <= 128):
+            return conv_transpose_2d_tapmm(x, w_hwio, b, stride,
+                                           torch_padding,
+                                           compute_dtype=compute_dtype)
         return conv_transpose_nd_packed(x, w_hwio, b, stride, torch_padding,
                                         compute_dtype=compute_dtype)
     return _conv_transpose_dilated(x, w_hwio, b, strides, pads, opads,
@@ -103,6 +119,76 @@ def _conv_transpose_dilated(x, w_hwio, b, strides, pads, opads,
     if b is not None:
         y = y + b.astype(y.dtype)
     return y
+
+
+def conv_transpose_2d_tapmm(x, w_hwio, b=None, stride=2, torch_padding=3,
+                            compute_dtype=None):
+    """Tap-unrolled lowering for TINY-C_out 2D transposed convs (the
+    generator's outermost NAS upconv: concat-128 -> output_nc=1, k8 s2,
+    128^2 -> 256^2, networks.py:486-511 head).
+
+    Even phase-packed (s^2 * C_out = 4 lanes), the op runs ~100x over its
+    bandwidth floor: 4 of 128 MXU output lanes. Here the channel contraction
+    becomes ONE full-width matmul — Y[n,i,j,(ty,tx,p,c)] = x_pad @ W with
+    taps*phases*C_out output lanes (64 for the head) — and the tap
+    reduction is s^2 * (k/s)^2 shifted slice-adds of small C_out planes,
+    followed by the same phase interleave as the packed form. Same math
+    (identical tap sums) to accumulation-order rounding. Eligible when
+    k - 2p == s, s | k, and (k/s)^2 * s^2 * C_out <= 128."""
+    nsp = 2
+    ks: Sequence[int] = w_hwio.shape[:nsp]
+    s = (stride,) * nsp if isinstance(stride, int) else tuple(stride)
+    pads = ((torch_padding,) * nsp if isinstance(torch_padding, int)
+            else tuple(torch_padding))
+    qs = [k - 1 - p for k, p in zip(ks, pads)]
+    if compute_dtype is not None:
+        x, w_hwio = x.astype(compute_dtype), w_hwio.astype(compute_dtype)
+    cin, cout = w_hwio.shape[-2], w_hwio.shape[-1]
+    sp_in = x.shape[1:-1]
+
+    phases = list(product(*(range(si) for si in s)))
+    ws = [w_hwio[tuple(slice((q - r) % si, None, si)
+                       for q, r, si in zip(qs, phases[i], s))]
+          for i in range(len(phases))]
+    offs = [tuple((q - r) // si for q, r, si in zip(qs, ph, s))
+            for ph in phases]
+    t0 = ws[0].shape[:nsp]
+    plo = [max(o[d] for o in offs) for d in range(nsp)]
+    phi = [t0[d] - 1 - min(o[d] for o in offs) for d in range(nsp)]
+
+    # one matmul over channels: lanes = (ty, tx, phase, cout), tap-major so
+    # each tap's slice-add reads a CONTIGUOUS len(phases)*cout lane block
+    wstack = jnp.stack(ws, axis=-2)                    # (ty, tx, cin, P, co)
+    w2 = jnp.transpose(wstack, (2, 0, 1, 3, 4)).reshape(
+        cin, t0[0] * t0[1] * len(phases) * cout)
+    x_pad = jnp.pad(x, [(0, 0), (plo[0], phi[0]), (plo[1], phi[1]), (0, 0)])
+    y = jnp.einsum("nhwc,ck->nhwk", x_pad, w2)         # (n, Hp, Wp, T*P*co)
+
+    pc = len(phases) * cout
+    grids = {}
+    for i, (ph, off) in enumerate(zip(phases, offs)):
+        b0, b1 = plo[0] - off[0], plo[1] - off[1]
+        acc = None
+        for ty in range(t0[0]):
+            for tx in range(t0[1]):
+                lane = ((ty * t0[1]) + tx) * pc + i * cout
+                sl = y[:, b0 + ty:b0 + ty + sp_in[0],
+                       b1 + tx:b1 + tx + sp_in[1], lane:lane + cout]
+                acc = sl if acc is None else acc + sl
+        grids[ph] = acc
+    for ax in range(nsp - 1, -1, -1):
+        new = {}
+        for head in product(*(range(si) for si in s[:ax])):
+            parts = [grids[head + (r,)] for r in range(s[ax])]
+            st = jnp.stack(parts, axis=ax + 2)
+            new[head] = st.reshape(
+                st.shape[:ax + 1] + (st.shape[ax + 1] * s[ax],)
+                + st.shape[ax + 3:])
+        grids = new
+    out = grids[()]
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
 
 
 def conv_transpose_nd_packed(x, w_hwio, b=None, stride=2, torch_padding=1,

@@ -198,6 +198,65 @@ def _max_pool_2x(x, nd: int):
     return _pool_fwd(x, nd)[0]
 
 
+# default ON since the real-v5e in-program A/B (scripts/ab_lowerings.py):
+# 19.48 -> 19.84 it/s on the flagship engine iteration, bit-identical
+_RESHAPE_POOL_2D = True
+
+
+def use_reshape_pool(enable: bool) -> None:
+    """Process-wide lowering switch for the 2D pool: the strided-slice window
+    view forces per-phase sublane relayouts on TPU (the [.,16,33,.] padded
+    copies in the engine trace, ~2 ms/iter); the in-place (n,H,2,W,2,C)
+    reshape view is layout-free (splits each spatial axis in place, channel
+    minor untouched). Same values and same first-argmax gradient either way
+    (bit-tested); a compilation choice, not state. 2D only — the 3D pool
+    keeps slices so depth-axis spatial sharding (parallel/spatial.py) can
+    propagate through it."""
+    global _RESHAPE_POOL_2D
+    _RESHAPE_POOL_2D = bool(enable)
+
+
+def _trim_even(x, nd: int):
+    sp = x.shape[1:-1]
+    ev = tuple(d - d % 2 for d in sp)
+    return x[(slice(None),) + tuple(slice(0, e) for e in ev)
+             + (slice(None),)], ev
+
+
+def _window6(x, nd: int):
+    """(n, 2H, 2W, c) -> (n, H, 2, W, 2, c), a free in-place reshape."""
+    xs, ev = _trim_even(x, nd)
+    n, c = xs.shape[0], xs.shape[-1]
+    return xs.reshape(n, ev[0] // 2, 2, ev[1] // 2, 2, c), ev
+
+
+def _pool_fwd_reshape(x, nd: int):
+    x6, _ = _window6(x, nd)
+    y = jnp.max(x6, axis=(2, 4))
+    return y, (x, y)
+
+
+def _pool_bwd_reshape(nd: int, res, g):
+    x, y = res
+    x6, ev = _window6(x, nd)
+    eq = x6 == y[:, :, None, :, None, :]
+    # row-major first-argmax priority over (h2, w2) — identical semantics to
+    # the slice path (torch argmax / select-and-scatter first-true)
+    e00, e01 = eq[:, :, 0, :, 0, :], eq[:, :, 0, :, 1, :]
+    e10, e11 = eq[:, :, 1, :, 0, :], eq[:, :, 1, :, 1, :]
+    m01 = e01 & ~e00
+    m10 = e10 & ~(e00 | e01)
+    m11 = e11 & ~(e00 | e01 | e10)
+    z = jnp.zeros((), g.dtype)
+    w = [jnp.where(m, g, z) for m in (e00, m01, m10, m11)]
+    dx6 = jnp.stack([jnp.stack([w[0], w[1]], axis=3),
+                     jnp.stack([w[2], w[3]], axis=3)], axis=2)
+    dx = dx6.reshape(x.shape[0], ev[0], ev[1], x.shape[-1])
+    pads = [(0, 0)] + [(0, d - e) for d, e in zip(x.shape[1:-1], ev)] \
+        + [(0, 0)]
+    return (jnp.pad(dx, pads),)
+
+
 def _window_slices(x, nd: int):
     """Trim odd edges (torch floor semantics) and return the 2^nd strided
     window slices in row-major kernel order. Slices (unlike a multi-axis
@@ -215,6 +274,8 @@ def _window_slices(x, nd: int):
 
 
 def _pool_fwd(x, nd: int):
+    if nd == 2 and _RESHAPE_POOL_2D:
+        return _pool_fwd_reshape(x, nd)
     slices = _window_slices(x, nd)
     y = slices[0]
     for s in slices[1:]:
@@ -231,6 +292,8 @@ def _interleave2(a, b, axis: int):
 
 
 def _pool_bwd(nd: int, res, g):
+    if nd == 2 and _RESHAPE_POOL_2D:
+        return _pool_bwd_reshape(nd, res, g)
     x, y = res
     slices = _window_slices(x, nd)
     taken = jnp.zeros(y.shape, jnp.bool_)

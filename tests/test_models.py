@@ -242,3 +242,87 @@ def test_unet_generator_packed_transpose_matches_dilated(generator_small):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_max_pool_2x_reshape_lowering_bit_identical():
+    """The reshape-view 2D pool lowering (use_reshape_pool) is bit-identical
+    to the slice lowering AND to XLA's select-and-scatter gradient — values
+    and first-argmax tie routing — incl. odd trailing edges."""
+    import flax.linen as nn
+    from semantic_segmentation_tpu.ops.flax_layers import (max_pool_2x,
+                                                           use_reshape_pool)
+
+    from semantic_segmentation_tpu.ops import flax_layers as FL
+    prior = FL._RESHAPE_POOL_2D
+    rng = np.random.default_rng(1)
+    try:
+        for shape in ((2, 8, 8, 3), (2, 9, 7, 3), (1, 16, 16, 5)):
+            x = rng.standard_normal(shape).astype(np.float32)
+            x = np.maximum(np.round(x * 2) / 2, 0.0).astype(np.float32)
+
+            def ref(v):
+                return jnp.sum(nn.max_pool(v, (2, 2), (2, 2)) ** 2)
+
+            def ours(v):
+                return jnp.sum(max_pool_2x(v, 2) ** 2)
+
+            use_reshape_pool(True)
+            y_r = np.asarray(jax.jit(lambda v: max_pool_2x(v, 2))(x))
+            g_r = np.asarray(jax.grad(ours)(x))
+            use_reshape_pool(False)
+            y_s = np.asarray(jax.jit(lambda v: max_pool_2x(v, 2))(x))
+            g_s = np.asarray(jax.grad(ours)(x))
+            np.testing.assert_array_equal(y_r, y_s)
+            np.testing.assert_array_equal(g_r, g_s)
+            np.testing.assert_array_equal(
+                y_r, np.asarray(jax.jit(lambda v: nn.max_pool(v, (2, 2),
+                                                              (2, 2)))(x)))
+            np.testing.assert_array_equal(g_r, np.asarray(jax.grad(ref)(x)))
+    finally:
+        use_reshape_pool(prior)
+
+
+def test_conv_transpose_tapmm_equals_dilated():
+    """conv_transpose_2d_tapmm (tap-unrolled matmul — the MXU-lane fix for
+    the generator's 1-channel head) must equal the dilated form to
+    accumulation-order rounding, fwd and grad, every NAS kernel size, odd
+    shapes, C_out 1-3, and dispatch only for eligible tiny-C_out shapes."""
+    from semantic_segmentation_tpu.ops import conv as C
+
+    rng = np.random.default_rng(2)
+    cases = [((2, 9, 7, 16), (4, 4, 16, 3), 1),
+             ((2, 8, 8, 16), (6, 6, 16, 1), 2),
+             ((2, 8, 8, 32), (8, 8, 32, 1), 3),
+             ((2, 8, 8, 32), (8, 8, 32, 2), 3)]
+    for xs, ws, p in cases:
+        x = jnp.asarray(rng.standard_normal(xs), jnp.float32)
+        w = jnp.asarray(rng.standard_normal(ws) * 0.05, jnp.float32)
+        b = jnp.asarray(rng.standard_normal(ws[-1]), jnp.float32)
+        ref = C.conv_transpose_nd(x, w, b, stride=2, torch_padding=p)
+        new = C.conv_transpose_2d_tapmm(x, w, b, stride=2, torch_padding=p)
+        np.testing.assert_allclose(np.asarray(new), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+        def loss(fn):
+            return lambda x_, w_: jnp.sum(fn(x_, w_, None, 2, p) ** 2)
+
+        g_ref = jax.grad(loss(C.conv_transpose_nd), argnums=(0, 1))(x, w)
+        g_new = jax.grad(loss(C.conv_transpose_2d_tapmm),
+                         argnums=(0, 1))(x, w)
+        for a, c in zip(g_ref, g_new):
+            np.testing.assert_allclose(np.asarray(c), np.asarray(a),
+                                       rtol=1e-4, atol=1e-4)
+    # dispatch: k8 s2 C_out=1 -> 64 lanes (eligible); C_out=64 -> 4096 (not)
+    try:
+        C.use_packed_transpose(True)
+        C.use_tapmm_head(True)
+        x = jnp.asarray(rng.standard_normal((1, 8, 8, 8)), jnp.float32)
+        w1 = jnp.asarray(rng.standard_normal((8, 8, 8, 1)), jnp.float32)
+        out = C.conv_transpose_nd(x, w1, None, 2, 3)
+        ref = C._conv_transpose_dilated(x, w1, None, (2, 2), (3, 3), (0, 0),
+                                        None)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+    finally:
+        C.use_packed_transpose(False)
+        C.use_tapmm_head(False)
