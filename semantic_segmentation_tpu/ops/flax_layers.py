@@ -224,10 +224,13 @@ def _trim_even(x, nd: int):
 
 
 def _window6(x, nd: int):
-    """(n, 2H, 2W, c) -> (n, H, 2, W, 2, c), a free in-place reshape."""
+    """(n, 2H, 2W, c) -> (n, H, 2, W, 2, c), a free in-place reshape.
+    One axis split per reshape: GSPMD sharding-in-types propagates
+    single-axis splits but rejects multi-axis ones (batch-sharded DP)."""
     xs, ev = _trim_even(x, nd)
     n, c = xs.shape[0], xs.shape[-1]
-    return xs.reshape(n, ev[0] // 2, 2, ev[1] // 2, 2, c), ev
+    x5 = xs.reshape(n, ev[0] // 2, 2, ev[1], c)
+    return x5.reshape(n, ev[0] // 2, 2, ev[1] // 2, 2, c), ev
 
 
 def _pool_fwd_reshape(x, nd: int):
@@ -251,7 +254,8 @@ def _pool_bwd_reshape(nd: int, res, g):
     w = [jnp.where(m, g, z) for m in (e00, m01, m10, m11)]
     dx6 = jnp.stack([jnp.stack([w[0], w[1]], axis=3),
                      jnp.stack([w[2], w[3]], axis=3)], axis=2)
-    dx = dx6.reshape(x.shape[0], ev[0], ev[1], x.shape[-1])
+    n, c = x.shape[0], x.shape[-1]
+    dx = dx6.reshape(n, ev[0] // 2, 2, ev[1], c).reshape(n, ev[0], ev[1], c)
     pads = [(0, 0)] + [(0, d - e) for d, e in zip(x.shape[1:-1], ev)] \
         + [(0, 0)]
     return (jnp.pad(dx, pads),)
