@@ -45,7 +45,9 @@ def conv_nd(x, w_hwio, b=None, stride=1, padding=0, compute_dtype=None):
 
 
 _PACKED_TRANSPOSE = False
-_TAPMM_HEAD = False
+# default ON since the real-v5e in-program A/B (scripts/ab_lowerings.py):
+# with the reshape pool, 19.85 -> 20.20 it/s on the flagship iteration
+_TAPMM_HEAD = True
 
 
 def use_packed_transpose(enable: bool) -> None:

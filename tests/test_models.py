@@ -313,6 +313,7 @@ def test_conv_transpose_tapmm_equals_dilated():
             np.testing.assert_allclose(np.asarray(c), np.asarray(a),
                                        rtol=1e-4, atol=1e-4)
     # dispatch: k8 s2 C_out=1 -> 64 lanes (eligible); C_out=64 -> 4096 (not)
+    prior_packed, prior_tapmm = C._PACKED_TRANSPOSE, C._TAPMM_HEAD
     try:
         C.use_packed_transpose(True)
         C.use_tapmm_head(True)
@@ -324,5 +325,5 @@ def test_conv_transpose_tapmm_equals_dilated():
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-5, atol=1e-6)
     finally:
-        C.use_packed_transpose(False)
-        C.use_tapmm_head(False)
+        C.use_packed_transpose(prior_packed)
+        C.use_tapmm_head(prior_tapmm)
