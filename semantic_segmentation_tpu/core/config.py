@@ -138,6 +138,12 @@ class RunConfig:
                                      # (--model_dir analogue, test_lung.py:67);
                                      # .msgpack, or a torch .pkl/.pth ported
                                      # on the fly
+    export_path: str = ""            # export_seg: artifact output ('' =
+                                     # <save_dir>/<name>/serving.jaxexp)
+    export_platforms: str = ""       # comma list lowered into the artifact
+                                     # (e.g. 'cpu,tpu'); '' = current backend
+    export_batch: int = 0            # 0 = symbolic batch dim (one artifact,
+                                     # any batch size); >0 pins it
     wandb: bool = False
     wandb_project: str = "end2end-JSRT"
     profile_dir: str = ""            # jax.profiler trace dir ('' = off)

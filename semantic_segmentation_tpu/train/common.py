@@ -75,3 +75,54 @@ def apply_seg_pretrained(cfg: Config, seg_state):
                                cfg.model.classes)
     return seg_state.replace(params=overlay_pytree(seg_state.params, p),
                              stats=overlay_pytree(seg_state.stats, s))
+
+
+def build_seg_problem(cfg: Config):
+    """The seg net + a fresh SegState exactly as test_seg/export_seg build
+    them (backbone, width, classes, compute dtype from the config)."""
+    import jax
+    import jax.numpy as jnp
+    from semantic_segmentation_tpu.models.seg import SegProblem
+    dtype = (jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16"
+             else jnp.float32)
+    problem = SegProblem(cfg.model.seg_model, cfg.model.output_nc,
+                         cfg.model.classes, lr=cfg.optim.unet_lr,
+                         compute_dtype=dtype, **seg_model_kwargs(cfg))
+    return problem, problem.init(jax.random.key(cfg.run.seed),
+                                 cfg.data.image_size)
+
+
+def load_seg_state(cfg: Config, state, model_file: str = ""):
+    """Resolve trained weights onto a fresh SegState: an explicit file
+    (.msgpack pytree, or a reference torch .pkl/.pth ported on the fly —
+    test_lung.py:67's opt.model_dir analogue), else the run's best orbax
+    checkpoint (engine or supervised layout)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from semantic_segmentation_tpu.core.checkpoint import CheckpointManager
+    from semantic_segmentation_tpu.utils.serialization import load_pytree
+    if model_file:
+        if model_file.endswith((".pkl", ".pth", ".pt")):
+            from semantic_segmentation_tpu.utils.torch_port import (
+                load_state_dict, port_unet_milesial)
+            p, s = port_unet_milesial(load_state_dict(model_file))
+            as_f32 = lambda t: jax.tree.map(  # noqa: E731
+                lambda x: jnp.asarray(x, jnp.float32), t)
+            return state.replace(params=as_f32(p), stats=as_f32(s))
+        loaded = load_pytree({"params": state.params,
+                              "stats": state.stats}, model_file)
+        return state.replace(params=loaded["params"],
+                             stats=loaded["stats"])
+    save_dir = os.path.join(cfg.run.save_dir, cfg.run.name)
+    mgr = CheckpointManager(os.path.join(save_dir, "ckpt"))
+    restored, _ = mgr.restore(jax.device_get(state),
+                              mgr.best_step() or mgr.latest_step())
+    if restored is not None and hasattr(restored, "params"):
+        if isinstance(restored.params, dict) and "unet" in restored.params:
+            return state.replace(params=restored.params["unet"],
+                                 stats=restored.stats["unet"])
+        return restored
+    return state

@@ -12,55 +12,18 @@ from __future__ import annotations
 
 import os
 
-import jax
-import jax.numpy as jnp
-
-from semantic_segmentation_tpu.core.checkpoint import CheckpointManager
 from semantic_segmentation_tpu.core.config import Config, parse_config
 from semantic_segmentation_tpu.core.logging_utils import MetricsLogger
-from semantic_segmentation_tpu.models.seg import SegProblem
-from semantic_segmentation_tpu.train.common import load_splits
+from semantic_segmentation_tpu.train.common import (build_seg_problem,
+                                                    load_seg_state,
+                                                    load_splits)
 from semantic_segmentation_tpu.train.train_unet import evaluate_split
-from semantic_segmentation_tpu.utils.serialization import load_pytree
 
 
 def run(cfg: Config, model_file: str = ""):
-    dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
-    from semantic_segmentation_tpu.train.common import seg_model_kwargs
-    kw = seg_model_kwargs(cfg)
-    problem = SegProblem(cfg.model.seg_model, cfg.model.output_nc,
-                         cfg.model.classes, lr=cfg.optim.unet_lr,
-                         compute_dtype=dtype, **kw)
-    state = problem.init(jax.random.key(0), cfg.data.image_size)
+    problem, state = build_seg_problem(cfg)
+    state = load_seg_state(cfg, state, model_file)
     save_dir = os.path.join(cfg.run.save_dir, cfg.run.name)
-    if model_file:
-        if model_file.endswith((".pkl", ".pth", ".pt")):
-            # a reference-trained torch UNet state_dict (test_lung.py:67
-            # loads opt.model_dir) — port on the fly so a switcher can
-            # evaluate their existing checkpoint here
-            from semantic_segmentation_tpu.utils.torch_port import (
-                load_state_dict, port_unet_milesial)
-            p, s = port_unet_milesial(load_state_dict(model_file))
-            as_f32 = lambda t: jax.tree.map(  # noqa: E731
-                lambda x: jnp.asarray(x, jnp.float32), t)
-            state = state.replace(params=as_f32(p), stats=as_f32(s))
-        else:
-            loaded = load_pytree({"params": state.params,
-                                  "stats": state.stats}, model_file)
-            state = state.replace(params=loaded["params"],
-                                  stats=loaded["stats"])
-    else:
-        # best checkpoint from the orbax manager (engine or supervised runs)
-        mgr = CheckpointManager(os.path.join(save_dir, "ckpt"))
-        restored, step = mgr.restore(jax.device_get(state),
-                                     mgr.best_step() or mgr.latest_step())
-        if restored is not None and hasattr(restored, "params"):
-            if isinstance(restored.params, dict) and "unet" in restored.params:
-                state = state.replace(params=restored.params["unet"],
-                                      stats=restored.stats["unet"])
-            else:
-                state = restored
-
     splits = load_splits(cfg)
     log = MetricsLogger(save_dir)
     results = {}
