@@ -144,6 +144,9 @@ class RunConfig:
                                      # (e.g. 'cpu,tpu'); '' = current backend
     export_batch: int = 0            # 0 = symbolic batch dim (one artifact,
                                      # any batch size); >0 pins it
+    export_allow_fresh: bool = False  # export_seg: permit serializing a
+                                      # fresh random init (otherwise an
+                                      # unresolved checkpoint is an error)
     wandb: bool = False
     wandb_project: str = "end2end-JSRT"
     profile_dir: str = ""            # jax.profiler trace dir ('' = off)

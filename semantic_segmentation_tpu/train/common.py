@@ -96,7 +96,13 @@ def load_seg_state(cfg: Config, state, model_file: str = ""):
     """Resolve trained weights onto a fresh SegState: an explicit file
     (.msgpack pytree, or a reference torch .pkl/.pth ported on the fly —
     test_lung.py:67's opt.model_dir analogue), else the run's best orbax
-    checkpoint (engine or supervised layout)."""
+    checkpoint (engine or supervised layout).
+
+    Returns ``(state, loaded)``: ``loaded`` is False when nothing resolved
+    and the fresh random init was returned unchanged — callers that would
+    otherwise silently evaluate/export untrained weights (export_seg) must
+    check it.
+    """
     import os
 
     import jax
@@ -111,18 +117,22 @@ def load_seg_state(cfg: Config, state, model_file: str = ""):
             p, s = port_unet_milesial(load_state_dict(model_file))
             as_f32 = lambda t: jax.tree.map(  # noqa: E731
                 lambda x: jnp.asarray(x, jnp.float32), t)
-            return state.replace(params=as_f32(p), stats=as_f32(s))
+            return state.replace(params=as_f32(p), stats=as_f32(s)), True
         loaded = load_pytree({"params": state.params,
                               "stats": state.stats}, model_file)
         return state.replace(params=loaded["params"],
-                             stats=loaded["stats"])
+                             stats=loaded["stats"]), True
     save_dir = os.path.join(cfg.run.save_dir, cfg.run.name)
-    mgr = CheckpointManager(os.path.join(save_dir, "ckpt"))
-    restored, _ = mgr.restore(jax.device_get(state),
-                              mgr.best_step() or mgr.latest_step())
+    ckpt_dir = os.path.join(save_dir, "ckpt")
+    if not os.path.isdir(ckpt_dir):   # don't create empty dirs as a side
+        return state, False           # effect of a failed lookup
+    mgr = CheckpointManager(ckpt_dir)
+    best = mgr.best_step()            # step 0 is a valid best step
+    step = best if best is not None else mgr.latest_step()
+    restored, _ = mgr.restore(jax.device_get(state), step)
     if restored is not None and hasattr(restored, "params"):
         if isinstance(restored.params, dict) and "unet" in restored.params:
             return state.replace(params=restored.params["unet"],
-                                 stats=restored.stats["unet"])
-        return restored
-    return state
+                                 stats=restored.stats["unet"]), True
+        return restored, True
+    return state, False

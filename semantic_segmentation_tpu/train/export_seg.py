@@ -27,7 +27,14 @@ from semantic_segmentation_tpu.train.common import (apply_seg_pretrained,
 def run(cfg: Config) -> str:
     problem, state = build_seg_problem(cfg)
     state = apply_seg_pretrained(cfg, state)
-    state = load_seg_state(cfg, state, cfg.run.model_file)
+    state, loaded = load_seg_state(cfg, state, cfg.run.model_file)
+    if not (loaded or cfg.run.seg_pretrained or cfg.run.export_allow_fresh):
+        raise FileNotFoundError(
+            f"export_seg: no trained weights resolved for "
+            f"run.name={cfg.run.name!r} / run.model_file="
+            f"{cfg.run.model_file!r} — refusing to serialize a random init "
+            f"into a serving artifact. Pass --run.export_allow_fresh=true "
+            f"to override deliberately.")
     platforms = (tuple(p for p in cfg.run.export_platforms.split(",") if p)
                  or None)
     blob = export_seg(problem, state.params, state.stats,

@@ -22,7 +22,10 @@ from semantic_segmentation_tpu.train.train_unet import evaluate_split
 
 def run(cfg: Config, model_file: str = ""):
     problem, state = build_seg_problem(cfg)
-    state = load_seg_state(cfg, state, model_file)
+    state, loaded = load_seg_state(cfg, state, model_file)
+    if not loaded:
+        print(f"test_seg: WARNING — no checkpoint resolved for "
+              f"run.name={cfg.run.name!r}; evaluating the fresh init")
     save_dir = os.path.join(cfg.run.save_dir, cfg.run.name)
     splits = load_splits(cfg)
     log = MetricsLogger(save_dir)

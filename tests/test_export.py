@@ -57,7 +57,7 @@ def test_export_pinned_batch_rejects_other_sizes():
     problem, state = build_seg_problem(cfg)
     call = load_exported(export_seg(problem, state.params, state.stats, 32,
                                     batch=2))
-    with pytest.raises(Exception):
+    with pytest.raises(ValueError, match=r"(?i)shape|rank|dimension"):
         call(jnp.ones((3, 32, 32, 1)))
 
 
@@ -76,6 +76,11 @@ def test_export_cli_entry(tmp_path):
     from semantic_segmentation_tpu.train import export_seg as cli
     cfg = _tiny_cfg()
     cfg.run.export_path = str(tmp_path / "serving.jaxexp")
+    # no checkpoint exists for this run: exporting the random init must be
+    # an explicit opt-in, not a silent success (ADVICE r2)
+    with pytest.raises(FileNotFoundError, match="refusing to serialize"):
+        cli.run(cfg)
+    cfg.run.export_allow_fresh = True
     path = cli.run(cfg)
     out = load_exported(path)(jnp.ones((2, 32, 32, 1), jnp.float32))
     assert np.asarray(out).shape == (2, 32, 32)
