@@ -59,6 +59,14 @@ class ModelConfig:
     drop_path_rate: float = 0.2
     # --use-checkpoint (train_options.py:87): remat transformer blocks
     use_checkpoint: bool = False
+    # Rematerialize the heavy sub-model applies (netG generator + seg net)
+    # inside the end2end problem losses: activations are recomputed in the
+    # backward instead of stored, trading ~one extra forward for the
+    # activation HBM — the lever that fits batch 16/32 in 16 GB for the
+    # capacity regime (jax.checkpoint; the working version of the
+    # reference's broken unet_model.py:39-49 use_checkpointing flag,
+    # applied engine-wide).
+    remat: bool = False
     compute_dtype: str = "bfloat16"  # AMP analogue; 'float32' to disable
     # phase-packed ConvTranspose lowering (ops/conv.py): s^nd x the MXU
     # output-lane utilization where C_out <= 128 (shape-dispatched; see the

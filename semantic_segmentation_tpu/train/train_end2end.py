@@ -54,20 +54,38 @@ def build_problems(cfg: Config, p2p: Pix2Pix, seg: SegProblem):
     detach = cfg.engine.detach_fakes
     postprocess = cfg.engine.fake_postprocess
 
+    # model.remat: rematerialize the heavy train-mode applies — their
+    # internal activations are recomputed during the backward instead of
+    # living in HBM across it. This is what lets the capacity regime run
+    # batch 16/32 on a 16 GB chip (bench.py capacity32 stage); numerics are
+    # identical (same math, re-executed).
+    def _g_apply(p, s, m, a, r):
+        return p2p.g_apply(p, s, m, a, True, r)
+
+    def _d_apply(p, s, x):
+        return p2p.d_apply(p, s, x, True)
+
+    def _seg_apply(p, s, x, r):
+        return seg.apply(p, s, x, train=True, rng=r)
+
+    if cfg.model.remat:
+        _g_apply = jax.checkpoint(_g_apply)
+        _d_apply = jax.checkpoint(_d_apply)
+        _seg_apply = jax.checkpoint(_seg_apply)
+
     def g_forward(state, arch, mask, rng, g_params=None):
-        fake, g_stats = p2p.g_apply(
+        fake, g_stats = _g_apply(
             g_params if g_params is not None else state.params["netG"],
-            state.stats["netG"], mask, arch["upconv"], True, rng)
+            state.stats["netG"], mask, arch["upconv"], rng)
         return fake, g_stats
 
     def loss_netG(g_params, state, arch, batch, rng):
         mask = batch["mask_pix2pix"].astype(jnp.float32)
         image = batch["image_pix2pix"].astype(jnp.float32)
         fake, g_stats = g_forward(state, arch, mask, rng, g_params)
-        pred_fake, d_stats = p2p.d_apply(state.params["netD"],
-                                         state.stats["netD"],
-                                         jnp.concatenate([mask, fake], -1),
-                                         True)
+        pred_fake, d_stats = _d_apply(state.params["netD"],
+                                      state.stats["netD"],
+                                      jnp.concatenate([mask, fake], -1))
         loss = gan_loss(pred_fake, True, gan_mode) + \
             lambda_L1 * l1_loss(fake, image)
         return loss, {"netG": g_stats, "netD": d_stats}
@@ -77,12 +95,10 @@ def build_problems(cfg: Config, p2p: Pix2Pix, seg: SegProblem):
         image = batch["image_pix2pix"].astype(jnp.float32)
         fake, g_stats = g_forward(state, arch, mask, rng)
         fake = jax.lax.stop_gradient(fake)
-        pred_fake, d_stats = p2p.d_apply(d_params, state.stats["netD"],
-                                         jnp.concatenate([mask, fake], -1),
-                                         True)
-        pred_real, d_stats = p2p.d_apply(d_params, d_stats,
-                                         jnp.concatenate([mask, image], -1),
-                                         True)
+        pred_fake, d_stats = _d_apply(d_params, state.stats["netD"],
+                                      jnp.concatenate([mask, fake], -1))
+        pred_real, d_stats = _d_apply(d_params, d_stats,
+                                      jnp.concatenate([mask, image], -1))
         loss = 0.5 * (gan_loss(pred_fake, False, gan_mode) +
                       gan_loss(pred_real, True, gan_mode))
         return loss, {"netG": g_stats, "netD": d_stats}
@@ -95,17 +111,16 @@ def build_problems(cfg: Config, p2p: Pix2Pix, seg: SegProblem):
         # real branch (train_end2end_jsrt.py:181-183). fold_in (not split)
         # for the seg-net dropout keys so existing aug/G streams are
         # untouched (trajectory parity vs the torch oracles).
-        logits, u_stats = seg.apply(u_params, state.stats["unet"], images,
-                                    train=True,
-                                    rng=jax.random.fold_in(rng, 101))
+        logits, u_stats = _seg_apply(u_params, state.stats["unet"], images,
+                                     jax.random.fold_in(rng, 101))
         loss = seg_loss_fn(logits, masks, seg.n_classes, seg.loss_type)
 
         # fake branch (:186-204), fully on device
         aug = random_augment_batch(rng_aug, masks)
         fake_mask = iops.threshold_mask(aug, 0.1)
-        fake_image, g_stats = p2p.g_apply(state.params["netG"],
-                                          state.stats["netG"], fake_mask,
-                                          arch["upconv"], True, rng_drop)
+        fake_image, g_stats = _g_apply(state.params["netG"],
+                                       state.stats["netG"], fake_mask,
+                                       arch["upconv"], rng_drop)
         if detach:
             fake_image = jax.lax.stop_gradient(fake_image)
         if postprocess == "uint8_chain":
@@ -121,9 +136,8 @@ def build_problems(cfg: Config, p2p: Pix2Pix, seg: SegProblem):
                 jnp.float32) / 255.0
         else:
             fake_image = iops.minmax_normalize(fake_image)
-        fake_logits, u_stats = seg.apply(u_params, u_stats, fake_image,
-                                         train=True,
-                                         rng=jax.random.fold_in(rng, 102))
+        fake_logits, u_stats = _seg_apply(u_params, u_stats, fake_image,
+                                          jax.random.fold_in(rng, 102))
         fake_loss = seg_loss_fn(fake_logits, fake_mask, seg.n_classes,
                                 seg.loss_type)
         return loss + loss_lambda * fake_loss, {"unet": u_stats,

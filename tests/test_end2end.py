@@ -233,3 +233,37 @@ def test_structural_zero_darts_in_all_bilevel_programs(tmp_path):
     cfg.run.name = "zvae"
     tv(cfg, train_iters=2)
     assert max(arch_norms(os.path.join(str(tmp_path), "zvae"))) == 0.0
+
+
+def test_end2end_remat_matches_no_remat():
+    """model.remat wraps the G/D/seg train-mode applies in jax.checkpoint:
+    activations are recomputed in the backward instead of stored (the
+    capacity-regime memory lever, bench.py capacity32 stage). The math is
+    unchanged — one engine step with remat on/off from the same init must
+    agree to float32 roundoff."""
+    from semantic_segmentation_tpu.data import (SyntheticSegDataset,
+                                                stack_dataset)
+    from semantic_segmentation_tpu.train.train_end2end import (
+        build_engine_and_state)
+
+    data = stack_dataset(SyntheticSegDataset(n=2, size=32))
+    batch = {k: np.asarray(v) for k, v in data.items()}
+    stack = {n: jax.tree.map(lambda x: x[None], batch)
+             for n in ("netG", "netD", "unet")}
+
+    outs = []
+    for remat in (False, True):
+        cfg = tiny_cfg("/tmp/unused", **{"model.remat": remat})
+        engine, state, _, _ = build_engine_and_state(cfg, jax.random.key(0))
+        state, metrics = engine.engine_step(state, stack, batch,
+                                            jax.random.key(1))
+        outs.append((jax.device_get(state.params), jax.device_get(metrics)))
+
+    (p0, m0), (p1, m1) = outs
+    for k in m0:
+        np.testing.assert_allclose(m1[k], m0[k], rtol=1e-5, atol=1e-7,
+                                   err_msg=k)
+    flat0 = jax.tree.leaves(p0)
+    flat1 = jax.tree.leaves(p1)
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-7)
