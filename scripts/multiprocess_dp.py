@@ -119,15 +119,34 @@ def main():
 
     state = replicate(state)
     names = tuple(p.name for p in engine.problems)
-    digest = {"metrics": [], "process_count": jax.process_count(),
-              "devices": n_global}
-    for step in range(args.steps):
+
+    def make_inputs(step):
         batch = global_batch(step)
         stack = {n: to_global(jax.tree.map(lambda x: x[None], batch),
                               P(None, "data")) for n in names}
         val = to_global(global_batch(args.steps + step), P("data"))
-        state, metrics = engine.engine_step(state, stack, val,
-                                            jax.random.key(step))
+        return stack, val
+
+    # Gloo's first-collective rendezvous window is a fixed ~30 s, but two
+    # single-core processes tracing+compiling this program have minutes of
+    # skew cold. So: AOT-compile the engine step BEFORE any collective
+    # executes, then barrier through the coordination service (generous
+    # timeout — it is a KV wait, no gloo involved), and only then execute.
+    # Both processes hit their first gloo collective within milliseconds of
+    # each other (VERDICT r2 item 2).
+    stack0, val0 = make_inputs(0)
+    compiled = type(engine).engine_step.lower(
+        engine, state, stack0, val0, jax.random.key(0)).compile()
+    if multi:
+        from jax._src import distributed as _dist
+        _dist.global_state.client.wait_at_barrier(
+            "genseg_mp_compiled", timeout_in_ms=1_800_000)
+
+    digest = {"metrics": [], "process_count": jax.process_count(),
+              "devices": n_global}
+    for step in range(args.steps):
+        stack, val = make_inputs(step) if step else (stack0, val0)
+        state, metrics = compiled(state, stack, val, jax.random.key(step))
         digest["metrics"].append(
             {k: float(v) for k, v in metrics.items()})
     checksum = sum(float(jnp.sum(jnp.abs(leaf)))

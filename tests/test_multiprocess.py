@@ -6,11 +6,16 @@ full bilevel engine iterations, and check equivalence with a single-process
 run of the same program (reference analog: BBDM's mp.spawn + NCCL DDP,
 ``BBDM/main.py:70-87``).
 
-Heavy (two concurrent XLA compiles on this box's single core, ~10 min cold /
+Rendezvous design: gloo's first-collective window is a fixed ~30 s, while
+two single-core processes compile with minutes of skew — so the harness
+AOT-compiles the engine step, barriers through the coordination service
+(KV wait, no gloo), and only then executes (see scripts/multiprocess_dp.py).
+
+Heavy (two concurrent XLA compiles on this box's single core, ~8 min cold /
 ~1 min warm via the persistent compile cache), so it only runs when
 ``GENSEG_RUN_MULTIPROCESS=1`` — scripts/multiprocess_dp.py is the same
-harness runnable by hand. A cold local run of this test was executed and
-passed during development; see the digests asserted below.
+harness runnable by hand. Passed on this box 2026-08-20 in 8m10s cold
+(digests recorded in PARITY.md §2.6).
 """
 import json
 import os
