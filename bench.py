@@ -202,8 +202,8 @@ def run_stage(stage: str) -> dict:
 # tunnel remain (measured: hit 357 s vs miss 452 s for the headline stage).
 LAST_MEASURED = {
     "bench3d": 5.89,    # 64^3 batch 1 (PARITY.md §2.2)
-    "capacity": 11.19,  # batch 8, no remat (PERF.md)
-    "darts": 9.46,      # unelided darts mode, batch 2 (PERF.md)
+    "capacity": 11.33,  # batch 8, no remat (r3 capture, PERF.md)
+    "darts": 9.88,      # unelided darts mode, batch 2 (r3 capture)
 }
 
 # Hard wall-clock budget for the WHOLE bench (driver runs it under its own

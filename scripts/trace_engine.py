@@ -39,10 +39,16 @@ S = 25
 
 
 def run(trace_dir: str):
+    # GENSEG_TRACE_BATCH / GENSEG_TRACE_REMAT: trace the capacity regimes
+    # (batch 8/16/32, optional model.remat) with the identical program —
+    # the evidence base for PERF.md's batch-scaling/HBM-wall analysis.
+    B = int(os.environ.get("GENSEG_TRACE_BATCH", "2"))
     cfg = parse_config([], preset="end2end_jsrt")
     cfg.data.synthetic = True
     cfg.data.image_size = 256
-    cfg.data.batch_size = 2
+    cfg.data.batch_size = B
+    if os.environ.get("GENSEG_TRACE_REMAT") == "1":
+        cfg.model.remat = True
     engine, state, _, _ = build_engine_and_state(cfg, jax.random.key(0))
     data = stack_dataset(SyntheticSegDataset(n=7, size=256))
     train_dev = device_put_split({k: np.asarray(v) for k, v in data.items()})
@@ -52,8 +58,8 @@ def run(trace_dir: str):
     root = jax.random.key(1)
 
     def chunk(state, i):
-        idx = {n: rng.integers(0, 7, size=(S, 1, 2)) for n in names}
-        vidx = rng.integers(0, 2, size=(S, 2))
+        idx = {n: rng.integers(0, 7, size=(S, 1, B)) for n in names}
+        vidx = rng.integers(0, 2, size=(S, B))
         return engine.engine_run_chunk(state, train_dev, val_dev, idx, vidx,
                                        jnp.int32(i * S), root, names)
 
