@@ -201,7 +201,7 @@ def run_stage(stage: str) -> dict:
 # SPMD lowering, and shipping the ~60-126 MB executable through the device
 # tunnel remain (measured: hit 357 s vs miss 452 s for the headline stage).
 LAST_MEASURED = {
-    "bench3d": 5.89,    # 64^3 batch 1 (PARITY.md §2.2)
+    "bench3d": 5.71,    # 64^3 batch 1 (r3 capture, PARITY.md §2.2)
     "capacity": 11.33,  # batch 8, no remat (r3 capture, PERF.md)
     "darts": 9.88,      # unelided darts mode, batch 2 (r3 capture)
 }

@@ -57,11 +57,23 @@ def run(trace_dir: str):
     rng = np.random.default_rng(0)
     root = jax.random.key(1)
 
+    # AOT-compile exactly as bench.py's stages do, so this script reuses the
+    # persistent-cache entry the bench already wrote for the same regime
+    # (the plain jit call produced a different cache key and recompiled).
+    idx0 = {n: rng.integers(0, 7, size=(S, 1, B)) for n in names}
+    vidx0 = rng.integers(0, 2, size=(S, B))
+    compiled = type(engine).engine_run_chunk.lower(
+        engine, state, train_dev, val_dev, idx0, vidx0, jnp.int32(0),
+        root, names).compile()
+
     def chunk(state, i):
-        idx = {n: rng.integers(0, 7, size=(S, 1, B)) for n in names}
-        vidx = rng.integers(0, 2, size=(S, B))
-        return engine.engine_run_chunk(state, train_dev, val_dev, idx, vidx,
-                                       jnp.int32(i * S), root, names)
+        if i == 0:
+            idx, vidx = idx0, vidx0
+        else:
+            idx = {n: rng.integers(0, 7, size=(S, 1, B)) for n in names}
+            vidx = rng.integers(0, 2, size=(S, B))
+        return compiled(state, train_dev, val_dev, idx, vidx,
+                        jnp.int32(i * S), root)
 
     state, m = chunk(state, 0)   # compile + warm
     jax.device_get(m)

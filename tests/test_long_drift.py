@@ -29,6 +29,20 @@ Runtime knob: GENSEG_DRIFT_STEPS (default 200 for the suite). Run once at
 torch 0.5274 = 0.09 pt gap (BASELINE.md band: +-0.5 pt), windowed-mean
 unet-loss drift max 0.86% — 20% of the reference's 5,000-iteration horizon
 with 5x headroom on the Dice band.
+
+FULL 5,000-step horizon (run 2026-08-21, 26m24s): windowed-mean unet-loss
+drift stays inside the 5% envelope, but final Dice lands 3.08 pt apart
+(ours 0.4045 vs torch 0.4353) — OUTSIDE the +-0.5 pt band. A control
+experiment shows this is the system's intrinsic chaos, not implementation
+bias: the SAME torch oracle re-run with its weights perturbed by ONE f32
+ulp (x(1+1e-7)) diverges from itself by 6.53 pt at 5,000 steps
+(scripts/drift_chaos_control.py: base 0.3699 vs ulp 0.4352, windowed-loss
+drift 0.65%) — i.e. the torch-vs-torch ulp spread is 2.1x LARGER than the
+torch-vs-JAX gap. Pointwise Dice agreement at this horizon is therefore
+not achievable by ANY reimplementation (a torch run on different hardware
+would differ as much); the assertions below encode the strongest claims
+the system admits: pointwise parity through 1,000 steps, the windowed
+statistical envelope at any horizon.
 """
 import os
 
@@ -232,7 +246,13 @@ def test_long_drift_end2end(tmp_path):
     assert rel.max() < 0.05, f"windowed unet-loss drift {rel}"
 
     # (iii) final Dice parity within +-0.5 pt on a held-out set, both nets
-    # evaluated through the SAME eval code (torch weights ported over)
+    # evaluated through the SAME eval code (torch weights ported over).
+    # Asserted through 1,000 steps (verified there: 0.09 pt). Beyond that
+    # the batch-2 GAN's chaos dominates: a 1-ulp torch-vs-torch weight
+    # perturbation spreads 6.53 pt by 5,000 steps while torch-vs-JAX is
+    # 3.08 pt (see module docstring + scripts/drift_chaos_control.py), so
+    # pointwise Dice is not a meaningful criterion at long horizons and
+    # only the windowed envelope (ii) applies.
     test_mask = (rng_np.random((8, 32, 32, 1)) > 0.6).astype(np.float32)
     test_img = rng_np.random((8, 32, 32, 1)).astype(np.float32)
     d_ours = float(eval_batch_score(
@@ -245,6 +265,7 @@ def test_long_drift_end2end(tmp_path):
         seg.eval_logits_p(tp, jax.tree.map(jnp.asarray, ts),
                           jnp.asarray(test_img)),
         jnp.asarray(test_mask), 1, "dice"))
-    assert abs(d_ours - d_theirs) < 0.005, (d_ours, d_theirs)
+    if N_STEPS <= 1000:
+        assert abs(d_ours - d_theirs) < 0.005, (d_ours, d_theirs)
     print(f"drift[{N_STEPS} steps]: final dice ours={d_ours:.4f} "
           f"torch={d_theirs:.4f} windowed-rel-max={rel.max():.4f}")
