@@ -1,0 +1,77 @@
+"""bench.py emission contract (VERDICT r2 item 1): the stdout tail must be
+one COMPLETE parseable headline JSON line at every point in the bench's
+life — before any stage finishes (clearly-marked preliminary from cached
+measurements), after each stage (cumulative), and with explicit *_cached
+carries for rows whose stage didn't run. Pure-python: no jax, no TPU."""
+
+import importlib.util
+import json
+import time
+
+
+def _bench(capsys):
+    spec = importlib.util.spec_from_file_location(
+        "bench_module", __file__.rsplit("/tests/", 1)[0] + "/bench.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _emit(mod, capsys, results, note=""):
+    mod.emit(results, time.perf_counter(), note)
+    line = [l for l in capsys.readouterr().out.splitlines() if l][-1]
+    return json.loads(line)
+
+HEAD = {"iters_per_sec": 20.0, "n_devices": 1, "device_kind": "TPU v5 lite",
+        "flops_per_iter": 7e10}
+
+
+def test_preliminary_line_is_complete_and_marked(capsys):
+    mod = _bench(capsys)
+    out = _emit(mod, capsys, {})
+    # a full, parseable headline line with honest provenance
+    assert out["value"] == mod.LAST_MEASURED["headline"]
+    assert out["headline_source"] == "cached_last_measured_r3"
+    assert "PRELIMINARY" in out["note"]
+    assert out["stages_completed"] == []
+    assert out["vs_baseline"] is not None
+    # unmeasured auxiliary rows carry explicit *_cached values, never
+    # silently substituted into the live fields
+    assert out["batch8_iters_per_sec"] is None
+    assert out["batch8_iters_per_sec_cached"] == mod.LAST_MEASURED["capacity"]
+    assert out["iters_per_sec_3d"] is None
+    assert out["iters_per_sec_3d_cached"] == mod.LAST_MEASURED["bench3d"]
+
+
+def test_live_headline_overrides_preliminary(capsys):
+    mod = _bench(capsys)
+    out = _emit(mod, capsys, {"headline": dict(HEAD)})
+    assert out["value"] == 20.0
+    assert "headline_source" not in out
+    assert "note" not in out
+    assert out["stages_completed"] == ["headline"]
+    # vs_baseline against the A100 0.926 it/s reference
+    assert abs(out["vs_baseline"] - 20.0 / mod.BASELINE_ITERS_PER_SEC) < 0.01
+    # MFU from the executable's own cost analysis at v5e peak
+    assert out["mfu"] == round(7e10 * 20.0 / 197e12, 4)
+
+
+def test_cumulative_rows_fill_in_and_cached_markers_drop(capsys):
+    mod = _bench(capsys)
+    results = {"headline": dict(HEAD),
+               "capacity": {"iters_per_sec": 11.0, "batch_size": 8,
+                            "n_devices": 1, "device_kind": "TPU v5 lite"},
+               "capacity32": {"iters_per_sec": 2.4, "batch_size": 32,
+                              "n_devices": 1, "device_kind": "TPU v5 lite"},
+               "bench3d": {"iters_per_sec": 5.7}}
+    out = _emit(mod, capsys, results, note="stage darts failed 2x")
+    assert out["batch8_iters_per_sec"] == 11.0
+    assert "batch8_iters_per_sec_cached" not in out
+    assert out["batch8_seg_imgs_per_sec_per_chip"] == 176.0  # 2*8*11
+    assert out["capacity_remat_batch"] == 32
+    assert out["iters_per_sec_3d"] == 5.7
+    assert "iters_per_sec_3d_cached" not in out
+    # darts didn't run: live field null + explicit cached carry + the note
+    assert out["iters_per_sec_darts_mode"] is None
+    assert out["iters_per_sec_darts_mode_cached"] == mod.LAST_MEASURED["darts"]
+    assert out["note"] == "stage darts failed 2x"
