@@ -240,7 +240,14 @@ def test_end2end_remat_matches_no_remat():
     activations are recomputed in the backward instead of stored (the
     capacity-regime memory lever, bench.py capacity32 stage). The math is
     unchanged — one engine step with remat on/off from the same init must
-    agree to float32 roundoff."""
+    agree to float32 roundoff.
+
+    The persistent compile cache is disabled for this test: serializing the
+    REMAT engine executable segfaults XLA:CPU's export pipeline
+    (reproducible crash inside compilation_cache.put_executable_and_time —
+    jax 0.8 on this image; TPU serialization of the same program is fine,
+    bench.py's capacity32 stage), and with the cache on, the whole suite
+    dies at this test every run."""
     from semantic_segmentation_tpu.data import (SyntheticSegDataset,
                                                 stack_dataset)
     from semantic_segmentation_tpu.train.train_end2end import (
@@ -251,13 +258,20 @@ def test_end2end_remat_matches_no_remat():
     stack = {n: jax.tree.map(lambda x: x[None], batch)
              for n in ("netG", "netD", "unet")}
 
-    outs = []
-    for remat in (False, True):
-        cfg = tiny_cfg("/tmp/unused", **{"model.remat": remat})
-        engine, state, _, _ = build_engine_and_state(cfg, jax.random.key(0))
-        state, metrics = engine.engine_step(state, stack, batch,
-                                            jax.random.key(1))
-        outs.append((jax.device_get(state.params), jax.device_get(metrics)))
+    cache_dir = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    try:
+        outs = []
+        for remat in (False, True):
+            cfg = tiny_cfg("/tmp/unused", **{"model.remat": remat})
+            engine, state, _, _ = build_engine_and_state(cfg,
+                                                         jax.random.key(0))
+            state, metrics = engine.engine_step(state, stack, batch,
+                                                jax.random.key(1))
+            outs.append((jax.device_get(state.params),
+                         jax.device_get(metrics)))
+    finally:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
 
     (p0, m0), (p1, m1) = outs
     for k in m0:
