@@ -258,8 +258,12 @@ def test_end2end_remat_matches_no_remat():
     stack = {n: jax.tree.map(lambda x: x[None], batch)
              for n in ("netG", "netD", "unet")}
 
-    cache_dir = jax.config.jax_compilation_cache_dir
-    jax.config.update("jax_compilation_cache_dir", None)
+    # NB: jax latches is_cache_used globally, so clearing the cache dir here
+    # would be a no-op; the min-compile-time threshold IS read live at
+    # write time (compiler._cache_write), so a huge value blocks the
+    # crashing serialization while leaving cache READS working.
+    prev = jax.config.jax_persistent_cache_min_compile_time_secs
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
     try:
         outs = []
         for remat in (False, True):
@@ -271,7 +275,7 @@ def test_end2end_remat_matches_no_remat():
             outs.append((jax.device_get(state.params),
                          jax.device_get(metrics)))
     finally:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", prev)
 
     (p0, m0), (p1, m1) = outs
     for k in m0:
