@@ -326,13 +326,13 @@ def main():
     # headline FIRST so the wall-clock-relevant number is captured before
     # anything slow can eat the budget (VERDICT r2: the old order measured
     # the headline last and a timeout voided the whole round)
-    # Slot order = value order under a tight budget (~6 min/stage even
-    # warm, see LAST_MEASURED note): the headline number first, then the
-    # remat capacity row (the round-3 deliverable), then the
-    # apples-to-apples darts mode, then the re-measured auxiliary rows.
-    # Each slot lists alternatives tried in order (capacity32 falls back to
-    # batch 16 if 32 doesn't fit).
-    for slot in (("headline",), ("capacity32", "capacity16"), ("darts",),
+    # Slot order = value order under a tight budget (measured warm on the
+    # tunnel: headline ~6 min, darts ~10, capacity32 ~13, capacity ~11):
+    # the headline number first, then the apples-to-apples darts mode
+    # (both fit the default 20-min budget), then the remat capacity row,
+    # then the re-measured auxiliary rows. Each slot lists alternatives
+    # tried in order (capacity32 falls back to batch 16 if 32 won't fit).
+    for slot in (("headline",), ("darts",), ("capacity32", "capacity16"),
                  ("capacity",), ("bench3d",)):
         note = ""
         done = False
