@@ -53,6 +53,58 @@ import numpy as np
 BASELINE_ITERS_PER_SEC = 5000.0 / (1.5 * 3600.0)  # A100-40G reference
 S = 25  # chunk size (one validation interval)
 
+# ---------------------------------------------------------------------------
+# Per-stage cost surgery (VERDICT r3 item 2): round 3 capped live coverage
+# at 2 of 5 stages because a warm stage still cost ~6 min. Profiled live on
+# the tunnel this round, the warm-stage breakdown was NOT what r3 assumed:
+# trace+SPMD-lower is 8 s, the persistent-cache compile hit is 3 s, the
+# first chunk 10 s — but building the engine state on the tunneled TPU
+# device cost 208 s (flax init dispatches hundreds of small host->tunnel
+# roundtrips). PJRT executable serialization was implemented and measured
+# as the alternative: deserialize is 5 s but the first call then ships the
+# 340 MB loaded executable through the tunnel at ~2 MB/s (188 s) — slower
+# than just recompiling against the warm persistent cache, so it was
+# dropped. The fix that sticks: run init on the HOST CPU backend (82 s cold,
+# one compile each instead of tunnel roundtrips) and device_put the state
+# to the TPU once (3.7 GB at ~130 MB/s = 28 s) — warm stage total ~2.5 min,
+# all five stages fit the 20-min driver budget.
+# ---------------------------------------------------------------------------
+
+
+def hostinit(build_fn, *args):
+    """Run a state builder with init placed on the host CPU backend. The
+    caller then `jax.device_put`s the state pytree to the TPU once. Init is
+    bit-identical across backends (threefry PRNG + deterministic
+    elementwise ops).
+
+    The persistent cache dir is switched to the host-fingerprinted subdir
+    for the duration (XLA:CPU AOT entries are machine-feature-keyed; a
+    foreign host's entries in the shared dir are rejected at load and,
+    with the keys occupied, never re-warmed — cache.py) and back to the
+    shared dir after, so the big TPU engine compiles keep their
+    host-independent entries."""
+    import jax
+    from semantic_segmentation_tpu.core.cache import enable_persistent_cache
+    if jax.default_backend() == "cpu":
+        return build_fn(*args)
+    enable_persistent_cache(host_keyed=True)
+    try:
+        with jax.default_device(jax.devices("cpu")[0]):
+            return build_fn(*args)
+    finally:
+        enable_persistent_cache(host_keyed=False)
+
+
+def _flops_of(compiled) -> float | None:
+    try:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        if ca and "flops" in ca:
+            return float(ca["flops"]) / S
+    except Exception:
+        pass
+    return None
+
 
 def run_stage_3d() -> dict:
     """GenSeg-3D bilevel throughput at the full reference regime (64^3
@@ -82,7 +134,8 @@ def run_stage_3d() -> dict:
                            unroll_steps=cfg.engine.unroll_steps,
                            roll_back=cfg.engine.roll_back,
                            hypergrad=cfg.engine.hypergrad)
-    state = model.init_state(engine, jax.random.key(0), crop)
+    state = hostinit(model.init_state, engine, jax.random.key(0), crop)
+    state = jax.device_put(state, jax.devices()[0])
     data = stack_dataset(SyntheticVolumeDataset(n=4, size=crop))
     train_dev = device_put_split({k: np.asarray(v) for k, v in data.items()})
     val_dev = device_put_split(
@@ -92,13 +145,22 @@ def run_stage_3d() -> dict:
     rng = np.random.default_rng(0)
     K = cfg.engine.unroll_steps
 
-    def run_chunk(state, i):
+    def draw_idx():
         idx = {n: rng.integers(0, 4, size=(S, K, batch)) for n in names}
         vidx = rng.integers(0, 2, size=(S, batch))
-        return engine.engine_run_chunk(state, train_dev, val_dev, idx, vidx,
-                                       jnp.int32(i * S), root, names)
+        return idx, vidx
 
-    state, metrics = run_chunk(state, 0)   # compile + warmup
+    idx0, vidx0 = draw_idx()
+    compiled = type(engine).engine_run_chunk.lower(
+        engine, state, train_dev, val_dev, idx0, vidx0, jnp.int32(0),
+        root, names).compile()
+
+    def run_chunk(state, i):
+        idx, vidx = (idx0, vidx0) if i == 0 else draw_idx()
+        return compiled(state, train_dev, val_dev, idx, vidx,
+                        jnp.int32(i * S), root)
+
+    state, metrics = run_chunk(state, 0)   # warmup
     jax.device_get(metrics)                # true sync (tunneled backend)
     t0 = time.perf_counter()
     for i in range(1, 3):   # 2 timed chunks: the stage must stay cheap
@@ -140,7 +202,9 @@ def run_stage(stage: str) -> dict:
     if stage in ("capacity16", "capacity32"):
         cfg.model.remat = True         # recompute activations in the bwd
     # full reference model sizes: ngf=ndf=64, unet_256, UNet-64
-    engine, state, _, _ = build_engine_and_state(cfg, jax.random.key(0))
+    engine, state, _, _ = hostinit(build_engine_and_state, cfg,
+                                   jax.random.key(0))
+    state = jax.device_put(state, jax.devices()[0])
 
     data = stack_dataset(SyntheticSegDataset(n=7, size=256))
     train_dev = device_put_split({k: np.asarray(v) for k, v in data.items()})
@@ -158,11 +222,12 @@ def run_stage(stage: str) -> dict:
     # ONE AOT compile, reused for both the FLOPs cost analysis and every
     # timed chunk (the old stage compiled twice — once via the jit call,
     # once via .lower().compile() for flops — which doubled the cold-stage
-    # cost through the tunnel, the r2 bench-timeout failure mode)
+    # cost through the tunnel, the r2 bench-timeout failure mode).
     idx0, vidx0 = draw_idx()
     compiled = type(engine).engine_run_chunk.lower(
         engine, state, train_dev, val_dev, idx0, vidx0, jnp.int32(0),
         root, names).compile()
+    flops_per_iter = _flops_of(compiled)
 
     def run_chunk(state, i):
         idx, vidx = (idx0, vidx0) if i == 0 else draw_idx()
@@ -181,25 +246,19 @@ def run_stage(stage: str) -> dict:
     out = {"iters_per_sec": iters_per_sec, "batch_size": batch_size,
            "device_kind": jax.devices()[0].device_kind,
            "n_devices": jax.device_count()}
-
-    try:
-        # FLOPs of one engine iteration from the compiled executable itself
-        ca = compiled.cost_analysis()
-        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-        if ca and "flops" in ca:
-            out["flops_per_iter"] = float(ca["flops"]) / S
-    except Exception:
-        pass
+    if flops_per_iter:
+        # FLOPs of one engine iteration from the compiled executable
+        out["flops_per_iter"] = flops_per_iter
     return out
 
 
 # Last locally-measured auxiliary values (v5e-lite), carried into the
 # headline JSON as explicit *_cached fields when their stage cannot run
 # inside the wall-clock budget, so a slow round degrades gracefully instead
-# of voiding rows (VERDICT r2 item 6). Even a warm stage costs ~6 min here:
-# the persistent compile cache skips only the XLA backend compile — tracing,
-# SPMD lowering, and shipping the ~60-126 MB executable through the device
-# tunnel remain (measured: hit 357 s vs miss 452 s for the headline stage).
+# of voiding rows (VERDICT r2 item 6). With host-side init + a warm
+# persistent compile cache a stage costs ~2.5 min (see the cost-surgery
+# note above), so all five stages normally fit the default budget and these
+# carries only cover cold-cache or degraded-tunnel rounds.
 LAST_MEASURED = {
     "bench3d": 5.71,    # 64^3 batch 1 (r3 capture, PARITY.md §2.2)
     "capacity": 11.33,  # batch 8, no remat (r3 capture, PERF.md)
@@ -247,13 +306,13 @@ def emit(results: dict, t_start: float, note: str = ""):
     def mfu_of(fl, r):
         return round(fl * r / peak, 4) if (fl and r and peak) else None
 
-    # No live headline yet: report the last MEASURED headline (r3, same
-    # chip/program) so a driver-side timeout that kills the bench before
-    # its first ~8-min stage completes still leaves a parseable, honest
-    # tail — the note + empty stages_completed make the provenance
-    # unmistakable, and every later emission overwrites this line.
+    # No live headline yet: 'value'/'vs_baseline'/'seg_imgs_per_sec_per_chip'
+    # stay null (a consumer keyed on 'value' alone must never read an
+    # unmeasured number as this run's result) and the last MEASURED headline
+    # is carried in the explicit 'value_cached' field — same convention as
+    # every other *_cached row. Every later emission overwrites this line.
     cached_head = head is None
-    ips = head["iters_per_sec"] if head else LAST_MEASURED["headline"]
+    ips = head["iters_per_sec"] if head else None
     flops = head.get("flops_per_iter") if head else None
     n_dev = head["n_devices"] if head else 1
     out = {
@@ -271,6 +330,8 @@ def emit(results: dict, t_start: float, note: str = ""):
         # (train_end2end_jsrt.py:177-226), so 2 * batch seg images/iter.
         "seg_imgs_per_sec_per_chip": (round(2 * 2 * ips / n_dev, 2)
                                       if ips else None),
+        **({"value_cached": LAST_MEASURED["headline"]} if cached_head
+           else {}),
         "iters_per_sec_darts_mode": (round(darts["iters_per_sec"], 4)
                                      if darts else None),
         **({} if darts else
@@ -310,8 +371,9 @@ def emit(results: dict, t_start: float, note: str = ""):
         out["iters_per_sec_3d_cached"] = LAST_MEASURED["bench3d"]
     if cached_head:
         out["headline_source"] = "cached_last_measured_r3"
-        note = ("PRELIMINARY: no live stage finished yet; value is the "
-                "last measured headline (same chip/program). " + note).strip()
+        note = ("PRELIMINARY: no live stage finished yet; value is null, "
+                "value_cached carries the last measured headline (same "
+                "chip/program). " + note).strip()
     if note:
         out["note"] = note
     print(json.dumps(out), flush=True)

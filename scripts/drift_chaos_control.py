@@ -103,8 +103,17 @@ def main():
         image = rng_np.random((2, 32, 32, 1)).astype(np.float32)
         return mask, image
 
+    # Isolated torch RNG stream per oracle (ADVICE r3): the interleaved
+    # stepping below would otherwise share the global RNG, which is only
+    # safe while no_dropout keeps step() draw-free — swapping each oracle's
+    # own RNG state in around its step makes the 1-ulp comparison robust to
+    # any future stochastic op in the oracle.
+    rng_states = {}
+    for name in oracles:
+        torch.manual_seed(0)
+        rng_states[name] = torch.get_rng_state()
+
     losses = {k: [] for k in oracles}
-    snaps = []
     for step in range(n_steps):
         mg, ig = draw_pair()
         md, idd = draw_pair()
@@ -118,11 +127,11 @@ def main():
         aug = random_augment_batch(rng_aug, jnp.asarray(mu))
         fake_mask = _nchw(np.asarray(iops.threshold_mask(aug, 0.1)))
         for name, o in oracles.items():
+            torch.set_rng_state(rng_states[name])
             _, _, lu = o.step((_nchw(mg), _nchw(ig)), (_nchw(md), _nchw(idd)),
                               (_nchw(iu), _nchw(mu)), fake_mask)
+            rng_states[name] = torch.get_rng_state()
             losses[name].append(lu)
-        if (step + 1) % 1000 == 0:
-            snaps.append(step + 1)
 
     # final Dice of both runs through the SAME eval code (ported to JAX)
     test_mask = (rng_np.random((8, 32, 32, 1)) > 0.6).astype(np.float32)
@@ -136,8 +145,10 @@ def main():
                               jnp.asarray(test_img)),
             jnp.asarray(test_mask), 1, "dice"))
 
-    a = np.asarray(losses["base"]).reshape(-1, 25).mean(axis=1)
-    b = np.asarray(losses["ulp"]).reshape(-1, 25).mean(axis=1)
+    # truncate to whole 25-step windows (ADVICE r3: arbitrary N_STEPS)
+    n_win = (n_steps // 25) * 25
+    a = np.asarray(losses["base"][:n_win]).reshape(-1, 25).mean(axis=1)
+    b = np.asarray(losses["ulp"][:n_win]).reshape(-1, 25).mean(axis=1)
     rel = np.abs(a - b) / np.maximum(np.abs(b), 1e-6)
     print(json.dumps({
         "n_steps": n_steps,

@@ -29,12 +29,18 @@ HEAD = {"iters_per_sec": 20.0, "n_devices": 1, "device_kind": "TPU v5 lite",
 def test_preliminary_line_is_complete_and_marked(capsys):
     mod = _bench(capsys)
     out = _emit(mod, capsys, {})
-    # a full, parseable headline line with honest provenance
-    assert out["value"] == mod.LAST_MEASURED["headline"]
+    # a full, parseable headline line with honest provenance: the live
+    # fields stay NULL until a live stage lands (ADVICE r3 / VERDICT r3
+    # item 2 — a consumer keyed on 'value' must never read a prior-round
+    # constant as this run's capture); the cached number rides the explicit
+    # value_cached field
+    assert out["value"] is None
+    assert out["vs_baseline"] is None
+    assert out["seg_imgs_per_sec_per_chip"] is None
+    assert out["value_cached"] == mod.LAST_MEASURED["headline"]
     assert out["headline_source"] == "cached_last_measured_r3"
     assert "PRELIMINARY" in out["note"]
     assert out["stages_completed"] == []
-    assert out["vs_baseline"] is not None
     # unmeasured auxiliary rows carry explicit *_cached values, never
     # silently substituted into the live fields
     assert out["batch8_iters_per_sec"] is None
@@ -47,6 +53,7 @@ def test_live_headline_overrides_preliminary(capsys):
     mod = _bench(capsys)
     out = _emit(mod, capsys, {"headline": dict(HEAD)})
     assert out["value"] == 20.0
+    assert "value_cached" not in out
     assert "headline_source" not in out
     assert "note" not in out
     assert out["stages_completed"] == ["headline"]

@@ -70,14 +70,15 @@ class TorchE2EOracle:
     """The reference engine iteration, restated (jsrt:141-236 + the arch
     Adam at :324 with the structurally-zero hypergradient)."""
 
-    def __init__(self, state, lr, unet_lr, arch_lr, loss_lambda):
-        self.G = TorchUnetGenerator(1, 1, num_downs=5, ngf=8)
+    def __init__(self, state, lr, unet_lr, arch_lr, loss_lambda,
+                 num_downs=5, ngf=8, ndf=8, unet_f=8):
+        self.G = TorchUnetGenerator(1, 1, num_downs=num_downs, ngf=ngf)
         self.G.load_flax(jax.device_get(state.params["netG"]),
                          jax.device_get(state.stats["netG"]))
-        self.D = TorchNLayerD(input_nc=2, ndf=8, n_layers=3)
+        self.D = TorchNLayerD(input_nc=2, ndf=ndf, n_layers=3)
         self.D.load_flax(jax.device_get(state.params["netD"]),
                          jax.device_get(state.stats["netD"]))
-        self.U = TorchMilesialUNet(1, 1, f=8)
+        self.U = TorchMilesialUNet(1, 1, f=unet_f)
         self.G.train(), self.D.train(), self.U.train()
         self.arch = torch.tensor(np.asarray(state.arch["upconv"]),
                                  requires_grad=True)
