@@ -260,10 +260,10 @@ def run_stage(stage: str) -> dict:
 # note above), so all five stages normally fit the default budget and these
 # carries only cover cold-cache or degraded-tunnel rounds.
 LAST_MEASURED = {
-    "bench3d": 5.71,    # 64^3 batch 1 (r3 capture, PARITY.md §2.2)
-    "capacity": 11.33,  # batch 8, no remat (r3 capture, PERF.md)
-    "darts": 9.88,      # unelided darts mode, batch 2 (r3 capture)
-    "headline": 20.22,  # flagship preset, batch 2 (r3 capture) — used ONLY
+    "bench3d": 5.70,    # 64^3 batch 1 (r4 all-5-stage capture, rc=0)
+    "capacity": 11.34,  # batch 8, no remat (r4 capture)
+    "darts": 9.89,      # unelided darts mode, batch 2 (r4 capture)
+    "headline": 20.19,  # flagship preset, batch 2 (r4 capture) — used ONLY
                         # for the clearly-marked preliminary line below
 }
 
@@ -370,7 +370,7 @@ def emit(results: dict, t_start: float, note: str = ""):
     if not (b3d and b3d.get("iters_per_sec")):
         out["iters_per_sec_3d_cached"] = LAST_MEASURED["bench3d"]
     if cached_head:
-        out["headline_source"] = "cached_last_measured_r3"
+        out["headline_source"] = "cached_last_measured_r4"
         note = ("PRELIMINARY: no live stage finished yet; value is null, "
                 "value_cached carries the last measured headline (same "
                 "chip/program). " + note).strip()

@@ -38,7 +38,7 @@ def test_preliminary_line_is_complete_and_marked(capsys):
     assert out["vs_baseline"] is None
     assert out["seg_imgs_per_sec_per_chip"] is None
     assert out["value_cached"] == mod.LAST_MEASURED["headline"]
-    assert out["headline_source"] == "cached_last_measured_r3"
+    assert out["headline_source"] == "cached_last_measured_r4"
     assert "PRELIMINARY" in out["note"]
     assert out["stages_completed"] == []
     # unmeasured auxiliary rows carry explicit *_cached values, never
