@@ -69,10 +69,11 @@ PEAK_FLOPS = 197e12
 
 
 def conv_xla(x, w, stride=2):
+    # bf16 in -> bf16 out (the production flax path: nn.Conv dtype=bf16);
+    # XLA accumulates the MXU products in f32 internally either way
     return lax.conv_general_dilated(
         x, w, window_strides=(stride, stride), padding=[(1, 1), (1, 1)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 def _shift2d(p, dr, dc):
@@ -100,16 +101,18 @@ def conv_tapmm(x, w):
                 ph = _shift2d(ph, orr, occ)
             acc = acc + jnp.einsum("bhwc,cf->bhwf", ph, w[dy, dx],
                                    preferred_element_type=jnp.float32)
-    return acc
+    return acc.astype(x.dtype)
 
 
 def conv_pallas(x, w, row_block=None):
-    """Implicit-GEMM Pallas kernel. Grid over (batch, output-row blocks);
-    each step DMAs the needed phase rows (incl. the 1-row halo each side,
-    pre-padded outside so the slice is static-safe) from HBM to a VMEM
-    scratch, assembles the (row_block*Wo, 16*Cin) patch matrix from shifted
-    phase slices, and runs ONE MXU matmul against the (16*Cin, Cout)
-    reshaped kernel (resident in VMEM across the grid)."""
+    """Implicit-GEMM Pallas kernel. The input is pre-split outside into the
+    4 stride-2 phases (q = 2r+c: x[2i+r, 2j+c]), zero-padded by one phase
+    row/col per side. Grid over (batch, output-row blocks); each step DMAs
+    the 4 phase row-slabs (incl. halo) from HBM to a VMEM scratch,
+    assembles the (row_block*Wo, 16*Cin) patch matrix from shifted phase
+    slices, and runs ONE MXU matmul against the (16*Cin, Cout) reshaped
+    kernel (resident in VMEM across the grid). All refs are rank <= 5
+    (Mosaic rejected the rank-6 single-buffer form)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -123,37 +126,46 @@ def conv_pallas(x, w, row_block=None):
             row_block -= 1
     wm = w.reshape(16 * C, Cout)
 
-    # pre-pad one phase-row/col of zeros on each side: padded phase row i+1
-    # = input rows (2i, 2i+1); output row block [i0, i0+rb) needs padded
-    # phase rows [i0, i0+rb+2) and all (padded) cols.
+    # 4-phase split with a 1-phase-row/col zero halo on each side:
+    # xq[2r+c, b, i+1, j+1] = x[b, 2i+r, 2j+c]
     xp = x.reshape(B, Ho, 2, Wo, 2, C)
-    xp = jnp.pad(xp, ((0, 0), (1, 1), (0, 0), (1, 1), (0, 0), (0, 0)))
+    xq = jnp.stack([xp[:, :, r, :, c, :] for r in range(2)
+                    for c in range(2)])               # (4, B, Ho, Wo, C)
+    xq = jnp.pad(xq, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
 
     def kernel(xr, wr, out):
+        b = pl.program_id(0)
         i = pl.program_id(1)
 
-        def body(scratch, sem):
-            dma = pltpu.make_async_copy(
-                xr.at[0, pl.ds(i * row_block, row_block + 2)], scratch, sem)
-            dma.start()
-            dma.wait()
+        def body(scratch, sems):
+            copies = [
+                pltpu.make_async_copy(
+                    xr.at[q, b, pl.ds(i * row_block, row_block + 2)],
+                    scratch.at[q], sems.at[q])
+                for q in range(4)
+            ]
+            for cp in copies:
+                cp.start()
+            for cp in copies:
+                cp.wait()
             taps = []
             for dy in range(4):
                 r, orr = (dy - 1) % 2, (dy - 1) // 2
                 for dx in range(4):
                     c, occ = (dx - 1) % 2, (dx - 1) // 2
-                    taps.append(scratch[1 + orr:1 + orr + row_block, r,
-                                        1 + occ:1 + occ + Wo, c, :])
+                    taps.append(scratch[2 * r + c,
+                                        1 + orr:1 + orr + row_block,
+                                        1 + occ:1 + occ + Wo, :])
             patch = jnp.concatenate(
                 [t.reshape(row_block * Wo, C) for t in taps], axis=1)
-            out[0] = jnp.dot(patch, wr[:],
-                             preferred_element_type=jnp.float32).reshape(
-                                 row_block, Wo, Cout)
+            out[0] = jnp.dot(
+                patch, wr[:], preferred_element_type=jnp.float32,
+            ).reshape(row_block, Wo, Cout).astype(out.dtype)
 
         pl.run_scoped(
             body,
-            scratch=pltpu.VMEM((row_block + 2, 2, Wo + 2, 2, C), x.dtype),
-            sem=pltpu.SemaphoreType.DMA(()),
+            scratch=pltpu.VMEM((4, row_block + 2, Wo + 2, C), x.dtype),
+            sems=pltpu.SemaphoreType.DMA((4,)),
         )
 
     grid = (B, Ho // row_block)
@@ -162,46 +174,61 @@ def conv_pallas(x, w, row_block=None):
         grid=grid,
         interpret=jax.default_backend() == "cpu",
         in_specs=[
-            pl.BlockSpec((1, Ho + 2, 2, Wo + 2, 2, C),
-                         lambda b, i: (b, 0, 0, 0, 0, 0),
-                         memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((16 * C, Cout), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, row_block, Wo, Cout),
                                lambda b, i: (b, i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Ho, Wo, Cout), jnp.float32),
-    )(xp, wm)
+        out_shape=jax.ShapeDtypeStruct((B, Ho, Wo, Cout), x.dtype),
+    )(xq, wm)
+
+
+S_SHORT, S_LONG = 400, 1600
 
 
 def timed(fn, x, w):
-    """Median-of-REPS per-call time with S calls scanned ON DEVICE in one
-    dispatch (the tunnel's ~2.7 ms dispatch latency would otherwise swamp
-    these us-scale layers). A one-element feedback into x defeats
-    loop-invariant hoisting without adding measurable work."""
-    @jax.jit
-    def many(x, w):
-        def body(c, _):
-            y = fn(x + c, w)
-            return y.reshape(-1)[0].astype(x.dtype) * 1e-12, None
-        c, _ = lax.scan(body, jnp.zeros((), x.dtype), None, length=S)
-        return c
+    """Per-iteration time by TWO-POINT SLOPE: (t(S_LONG) - t(S_SHORT)) /
+    (S_LONG - S_SHORT), each with the iterations scanned ON DEVICE in one
+    dispatch and synced by device_get (this tunnel's block_until_ready is a
+    no-op and each dispatch carries a fixed ~25 ms round-trip — the first
+    harness measured exactly that constant for every layer). The slope
+    cancels the fixed per-dispatch cost. A one-element feedback into x
+    defeats loop-invariant hoisting without adding measurable work."""
+    def make(length):
+        @jax.jit
+        def many(x, w):
+            def body(c, _):
+                y = fn(x + c, w)
+                return y.reshape(-1)[0].astype(x.dtype) * 1e-12, None
+            c, _ = lax.scan(body, jnp.zeros((), x.dtype), None,
+                            length=length)
+            return c
+        return many
 
-    out = many(x, w)
-    jax.block_until_ready(out)
-    times = []
+    m1, m2 = make(S_SHORT), make(S_LONG)
+    jax.device_get(m1(x, w))
+    jax.device_get(m2(x, w))
+    slopes = []
     for _ in range(REPS):
         t0 = time.perf_counter()
-        jax.block_until_ready(many(x, w))
-        times.append((time.perf_counter() - t0) / S)
-    return sorted(times)[len(times) // 2]
+        jax.device_get(m1(x, w))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        jax.device_get(m2(x, w))
+        t2 = time.perf_counter() - t0
+        slopes.append((t2 - t1) / (S_LONG - S_SHORT))
+    return sorted(slopes)[len(slopes) // 2]
 
 
 def grad_form(conv):
     def gf(x, w):
         def loss(x, w):
-            return jnp.sum(conv(x, w) ** 2)
+            # cast the f32-accumulated output back to the compute dtype so
+            # the conv transpose rules see a bf16 cotangent (production
+            # layers do the same: bf16 activations downstream)
+            return jnp.sum(conv(x, w).astype(x.dtype) ** 2)
         dx, dw = jax.grad(loss, argnums=(0, 1))(x, w)
         # fold dw into the output so neither gradient is dead code
         return dx + dw.reshape(-1)[0].astype(dx.dtype) * 1e-12
@@ -222,7 +249,7 @@ def main():
                         jnp.bfloat16)
         flops = 2 * batch * (hw // 2) ** 2 * 16 * cin * cout
         bytes_ = 2 * (batch * hw * hw * cin + 16 * cin * cout
-                      + batch * (hw // 2) ** 2 * cout * 2)  # bf16 io, f32 out
+                      + batch * (hw // 2) ** 2 * cout)    # all bf16 io
         roof = max(bytes_ / PEAK_BW, flops / PEAK_FLOPS)
         row = {"layer": tag, "hw": hw, "cin": cin, "cout": cout,
                "mult": mult, "roofline_us": round(roof * 1e6, 2)}

@@ -405,6 +405,16 @@ def train(cfg: Config, train_iters: int | None = None):
             best_unet = snapshot_unet()
         log.log({**{k: float(v) for k, v in m_host.items()},
                  "val_score": val, "best_val": best_val}, it)
+        if cfg.engine.hypergrad in ("darts", "unroll"):
+            # live-NAS observability: the arch tables are the OUTER
+            # variables (reference arch_parameters(), networks.py:476-484);
+            # log the full (tiny) tables per interval so the search
+            # trajectory + final genotype are reconstructable from
+            # metrics.jsonl (the reference's wiring provably never moves
+            # them — arch_grad_norm == 0 — so a live trajectory is the
+            # beyond-parity evidence)
+            log.log({f"arch_{k}": np.asarray(v).tolist()
+                     for k, v in jax.device_get(state.arch).items()}, it)
         if cfg.run.save_every and it % cfg.run.save_every == 0:
             save_ckpt({"val_score": best_val})
         # plateau stepping + image panels every len(train_set) global steps

@@ -30,41 +30,51 @@ SCRIPT = os.path.join(ROOT, "scripts", "multiprocess_dp.py")
 
 
 @pytest.mark.skipif(os.environ.get("GENSEG_RUN_MULTIPROCESS") != "1",
-                    reason="set GENSEG_RUN_MULTIPROCESS=1 (two concurrent "
+                    reason="set GENSEG_RUN_MULTIPROCESS=1 (concurrent "
                            "XLA compiles; run scripts/multiprocess_dp.py "
                            "by hand otherwise)")
-def test_two_process_engine_matches_single_process(tmp_path):
+@pytest.mark.parametrize("n_proc,local_dev,port",
+                         [(2, 2, 12961), (4, 1, 12967)])
+def test_multi_process_engine_matches_single_process(tmp_path, n_proc,
+                                                     local_dev, port):
+    """2 ranks x 2 devices AND 4 ranks x 1 device (VERDICT r3 item 9: the
+    2x2 assembly shows global_from_host_local / make_array_from_process_
+    local_data generalizes past 2 hosts) — both assemble the SAME 4-device
+    global mesh, so both must reproduce the identical single-process run."""
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     out_s = tmp_path / "single.json"
-    out_0 = tmp_path / "p0.json"
-    out_1 = tmp_path / "p1.json"
 
     def launch(pid, out):
         return subprocess.Popen(
             [sys.executable, SCRIPT, "--process-id", str(pid),
-             "--port", "12961", "--out", str(out)],
+             "--num-processes", str(n_proc),
+             "--local-devices", str(local_dev),
+             "--port", str(port), "--out", str(out)],
             env=env, cwd=ROOT)
 
     # single-process reference on the same 4-device mesh
     assert launch(-1, out_s).wait(timeout=1200) == 0
 
-    # two cooperating processes — THE multihost branch, executed for real
-    p0, p1 = launch(0, out_0), launch(1, out_1)
-    rc0, rc1 = p0.wait(timeout=2400), p1.wait(timeout=2400)
-    assert rc0 == 0 and rc1 == 0
+    # n_proc cooperating processes — THE multihost branch, executed for real
+    outs = [tmp_path / f"p{i}.json" for i in range(n_proc)]
+    procs = [launch(i, o) for i, o in enumerate(outs)]
+    rcs = [p.wait(timeout=2400) for p in procs]
+    assert rcs == [0] * n_proc, rcs
 
     single = json.loads(out_s.read_text())
-    d0 = json.loads(out_0.read_text())
-    d1 = json.loads(out_1.read_text())
+    digests = [json.loads(o.read_text()) for o in outs]
 
-    assert d0["process_count"] == 2 and single["process_count"] == 1
-    # both ranks observe the identical global computation
-    assert d0 == d1
+    assert digests[0]["process_count"] == n_proc
+    assert single["process_count"] == 1
+    # every rank observes the identical global computation
+    for d in digests[1:]:
+        assert d == digests[0]
     # and it equals the single-process run up to collective reduction-order
     # rounding (gloo ring vs shared-memory adds)
-    for ms, mp_ in zip(single["metrics"], d0["metrics"]):
+    for ms, mp_ in zip(single["metrics"], digests[0]["metrics"]):
         for k in ms:
             np.testing.assert_allclose(mp_[k], ms[k], rtol=1e-3, atol=1e-4,
                                        err_msg=k)
-    np.testing.assert_allclose(d0["checksum"], single["checksum"], rtol=1e-4)
+    np.testing.assert_allclose(digests[0]["checksum"], single["checksum"],
+                               rtol=1e-4)
