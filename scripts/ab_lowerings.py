@@ -18,7 +18,10 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 S, N_CHUNKS = 25, 6
-VARIANTS = ("", "pool", "tapmm", "pool,tapmm")
+# r2 ran the pool/tapmm grid (base 19.45 / pool 19.85 / tapmm 19.71 / both
+# 20.20 -> defaults flipped). r4 A/Bs the per-tap down-conv lowering on top
+# of the shipped defaults (VERDICT r3 item 4).
+VARIANTS = ("pool,tapmm", "pool,tapmm,tapdown")
 
 
 def child(variant: str):
@@ -31,19 +34,26 @@ def child(variant: str):
     from semantic_segmentation_tpu.data import (SyntheticSegDataset,
                                                 stack_dataset)
     from semantic_segmentation_tpu.data.pipeline import device_put_split
-    from semantic_segmentation_tpu.ops.conv import use_tapmm_head
+    from semantic_segmentation_tpu.ops.conv import (use_tapmm_down,
+                                                    use_tapmm_head)
     from semantic_segmentation_tpu.ops.flax_layers import use_reshape_pool
     from semantic_segmentation_tpu.train.train_end2end import (
         build_engine_and_state)
 
-    flags = set(variant.split(",")) if variant else set()
-    use_reshape_pool("pool" in flags)
-    use_tapmm_head("tapmm" in flags)
     cfg = parse_config([], preset="end2end_jsrt")
     cfg.data.synthetic = True
     cfg.data.image_size = 256
     cfg.data.batch_size = 2
-    engine, state, _, _ = build_engine_and_state(cfg, jax.random.key(0))
+    # AFTER parse_config: it applies cfg.model defaults to the same
+    # process-global switches and would override the variant under test
+    flags = set(variant.split(",")) if variant else set()
+    use_reshape_pool("pool" in flags)
+    use_tapmm_head("tapmm" in flags)
+    use_tapmm_down("tapdown" in flags)
+    from bench import hostinit
+    engine, state, _, _ = hostinit(build_engine_and_state, cfg,
+                                   jax.random.key(0))
+    state = jax.device_put(state, jax.devices()[0])
     data = stack_dataset(SyntheticSegDataset(n=7, size=256))
     train_dev = device_put_split({k: np.asarray(v) for k, v in data.items()})
     val_dev = device_put_split({k: np.asarray(v)[:2] for k, v in data.items()})

@@ -104,21 +104,60 @@ def conv_tapmm(x, w):
     return acc.astype(x.dtype)
 
 
+def conv_tapmm_concat(x, w):
+    """Small-C specialization: build the (B, Ho, Wo, 16*C) patch tensor
+    once (16 shifted phase views concatenated on the channel axis) and run
+    ONE matmul against the (16*C, Cout) reshaped kernel. For C_in in
+    {1, 2} the per-tap einsums of conv_tapmm degenerate to K=1 matmuls
+    (measured 2.3x SLOWER than XLA); concatenating first gives K=16*C and
+    only 16x a tiny input's bytes of patch traffic."""
+    B, H, W, C = x.shape
+    Ho, Wo = H // 2, W // 2
+    Cout = w.shape[-1]
+    xp = x.reshape(B, Ho, 2, Wo, 2, C)
+    phases = []
+    for dy in range(4):
+        r, orr = (dy - 1) % 2, (dy - 1) // 2
+        for dx in range(4):
+            c, occ = (dx - 1) % 2, (dx - 1) // 2
+            ph = xp[:, :, r, :, c, :]
+            if orr or occ:
+                ph = _shift2d(ph, orr, occ)
+            phases.append(ph)
+    patch = jnp.concatenate(phases, axis=-1)          # (B, Ho, Wo, 16C)
+    y = jnp.einsum("bhwk,kf->bhwf", patch, w.reshape(16 * C, Cout),
+                   preferred_element_type=jnp.float32)
+    return y.astype(x.dtype)
+
+
 def conv_pallas(x, w, row_block=None):
     """Implicit-GEMM Pallas kernel. The input is pre-split outside into the
-    4 stride-2 phases (q = 2r+c: x[2i+r, 2j+c]), zero-padded by one phase
-    row/col per side. Grid over (batch, output-row blocks); each step DMAs
-    the 4 phase row-slabs (incl. halo) from HBM to a VMEM scratch,
-    assembles the (row_block*Wo, 16*Cin) patch matrix from shifted phase
-    slices, and runs ONE MXU matmul against the (16*Cin, Cout) reshaped
-    kernel (resident in VMEM across the grid). All refs are rank <= 5
-    (Mosaic rejected the rank-6 single-buffer form)."""
+    4 stride-2 phases (q = 2r+c: x[2i+r, 2j+c]) with a zero halo, columns
+    padded to a multiple of 8. Grid over (batch, output-row blocks); each
+    step issues 8 async DMAs — one per (phase, row-offset) pair, copying a
+    full-width (row_block, Wpad, C) HBM window into a whole VMEM slab (row
+    offsets live on an untiled dim; Mosaic requires 8-aligned offsets on
+    tiled dims, which rules out column-window DMAs and VMEM ref slices) —
+    loads each slab as a VALUE and takes the +-1 column shifts as vector
+    slices, assembles the (row_block*Wo, 16*C) patch matrix, and runs ONE
+    MXU matmul against the (16*C, Cout) reshaped kernel."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, H, W, C = x.shape
     Ho, Wo = H // 2, W // 2
     Cout = w.shape[-1]
+    # Mosaic's lane tiling (128) rejects ref slices whose channel extent
+    # is not a multiple of 128 even at full extent: zero-pad channels (and
+    # the matching kernel rows — same math) up to the lane tile. C < 8
+    # would inflate input bytes >16x; those layers keep the XLA lowering.
+    if C < 8:
+        raise NotImplementedError(f"conv_pallas requires C_in >= 8, got {C}")
+    if C % 128:
+        Cp = 128 if C < 128 else ((C + 127) // 128) * 128
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, Cp - C)))
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, Cp - C), (0, 0)))
+        C = Cp
     if row_block is None:
         # target <=2 MB patch matrix in VMEM
         row_block = max(1, min(Ho, 2**21 // max(1, Wo * 16 * C * 2)))
@@ -126,55 +165,53 @@ def conv_pallas(x, w, row_block=None):
             row_block -= 1
     wm = w.reshape(16 * C, Cout)
 
-    # 4-phase split with a 1-phase-row/col zero halo on each side:
+    # 4-phase split with a 1-phase-row/col zero halo, cols padded to %8:
     # xq[2r+c, b, i+1, j+1] = x[b, 2i+r, 2j+c]
+    Wpad = ((Wo + 2 + 7) // 8) * 8
     xp = x.reshape(B, Ho, 2, Wo, 2, C)
     xq = jnp.stack([xp[:, :, r, :, c, :] for r in range(2)
                     for c in range(2)])               # (4, B, Ho, Wo, C)
-    xq = jnp.pad(xq, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
+    xq = jnp.pad(xq, ((0, 0), (0, 0), (1, 1), (1, Wpad - Wo - 1), (0, 0)))
 
-    def kernel(xr, wr, out):
+    TAPS, PAIRS = [], []
+    for dy in range(4):
+        r, orr = (dy - 1) % 2, (dy - 1) // 2
+        for dx in range(4):
+            c, occ = (dx - 1) % 2, (dx - 1) // 2
+            if (2 * r + c, orr) not in PAIRS:
+                PAIRS.append((2 * r + c, orr))
+            TAPS.append((PAIRS.index((2 * r + c, orr)), occ))
+
+    def kernel(xr, wr, out, *slabs_and_sems):
+        slabs, sems = slabs_and_sems[:8], slabs_and_sems[8]
         b = pl.program_id(0)
         i = pl.program_id(1)
-
-        def body(scratch, sems):
-            copies = [
-                pltpu.make_async_copy(
-                    xr.at[q, b, pl.ds(i * row_block, row_block + 2)],
-                    scratch.at[q], sems.at[q])
-                for q in range(4)
-            ]
-            for cp in copies:
-                cp.start()
-            for cp in copies:
-                cp.wait()
-            taps = []
-            for dy in range(4):
-                r, orr = (dy - 1) % 2, (dy - 1) // 2
-                for dx in range(4):
-                    c, occ = (dx - 1) % 2, (dx - 1) // 2
-                    taps.append(scratch[2 * r + c,
-                                        1 + orr:1 + orr + row_block,
-                                        1 + occ:1 + occ + Wo, :])
-            patch = jnp.concatenate(
-                [t.reshape(row_block * Wo, C) for t in taps], axis=1)
-            out[0] = jnp.dot(
-                patch, wr[:], preferred_element_type=jnp.float32,
-            ).reshape(row_block, Wo, Cout).astype(out.dtype)
-
-        pl.run_scoped(
-            body,
-            scratch=pltpu.VMEM((4, row_block + 2, Wo + 2, C), x.dtype),
-            sems=pltpu.SemaphoreType.DMA((4,)),
-        )
+        copies = [
+            pltpu.make_async_copy(
+                xr.at[q, b, pl.ds(i * row_block + 1 + orr, row_block)],
+                slabs[s], sems.at[s])
+            for s, (q, orr) in enumerate(PAIRS)
+        ]
+        for cp in copies:
+            cp.start()
+        for cp in copies:
+            cp.wait()
+        full = [s[:] for s in slabs]                  # VALUE loads
+        patch = jnp.concatenate(
+            [full[s][:, 1 + occ:1 + occ + Wo, :].reshape(row_block * Wo, C)
+             for s, occ in TAPS], axis=1)
+        out[0] = jnp.dot(
+            patch, wr[:], preferred_element_type=jnp.float32,
+        ).reshape(row_block, Wo, Cout).astype(out.dtype)
 
     grid = (B, Ho // row_block)
+    slab = pltpu.VMEM((row_block, Wpad, C), x.dtype)
     return pl.pallas_call(
         kernel,
         grid=grid,
         interpret=jax.default_backend() == "cpu",
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((16 * C, Cout), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -182,6 +219,7 @@ def conv_pallas(x, w, row_block=None):
                                lambda b, i: (b, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Ho, Wo, Cout), x.dtype),
+        scratch_shapes=[slab] * 8 + [pltpu.SemaphoreType.DMA((8,))],
     )(xq, wm)
 
 
@@ -201,7 +239,15 @@ def timed(fn, x, w):
         def many(x, w):
             def body(c, _):
                 y = fn(x + c, w)
-                return y.reshape(-1)[0].astype(x.dtype) * 1e-12, None
+                flat = y.reshape(-1)
+                # consume ONE element at a DATA-DEPENDENT index: a static
+                # [0] lets XLA narrow the whole conv to one output element
+                # (measured: 0.04 us/iter "convs", far below roofline); an
+                # index XLA cannot fold forces the full output to
+                # materialize while costing one dynamic-slice
+                idx = jnp.abs(flat[:1]).astype(jnp.int32)[0] % flat.shape[0]
+                return (lax.dynamic_index_in_dim(flat, idx, keepdims=False)
+                        .astype(x.dtype) * 1e-12), None
             c, _ = lax.scan(body, jnp.zeros((), x.dtype), None,
                             length=length)
             return c
@@ -230,8 +276,10 @@ def grad_form(conv):
             # layers do the same: bf16 activations downstream)
             return jnp.sum(conv(x, w).astype(x.dtype) ** 2)
         dx, dw = jax.grad(loss, argnums=(0, 1))(x, w)
-        # fold dw into the output so neither gradient is dead code
-        return dx + dw.reshape(-1)[0].astype(dx.dtype) * 1e-12
+        # fold the FULL dw into the output (sum reads every element, so the
+        # whole wgrad must be computed; dw is small so the sum is free) —
+        # dx is consumed by timed()'s dynamic-index trick
+        return dx + jnp.sum(dw).astype(dx.dtype) * 1e-12
     return gf
 
 
@@ -255,6 +303,7 @@ def main():
                "mult": mult, "roofline_us": round(roof * 1e6, 2)}
         ref = conv_xla(x, w)
         for name, fn in (("xla", conv_xla), ("tapmm", conv_tapmm),
+                         ("tapcat", conv_tapmm_concat),
                          ("pallas", conv_pallas)):
             try:
                 out = jax.jit(fn)(x, w)
@@ -277,9 +326,9 @@ def main():
     print(json.dumps({
         "summary": "conv_down_ab",
         "weighted_fwd_us": {k: round(total(f"{k}_us"), 1)
-                            for k in ("xla", "tapmm", "pallas")},
+                            for k in ("xla", "tapmm", "tapcat", "pallas")},
         "weighted_fwdbwd_us": {k: round(total(f"{k}_fwdbwd_us"), 1)
-                               for k in ("xla", "tapmm")},
+                               for k in ("xla", "tapmm", "tapcat")},
         "weighted_roofline_us": round(total("roofline_us"), 1),
     }), flush=True)
 

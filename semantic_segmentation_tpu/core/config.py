@@ -73,6 +73,11 @@ class ModelConfig:
     # measured A/B table in conv_transpose_nd); same math to
     # accumulation-order rounding. Default ON since the real-v5e A/B.
     convt_packed: bool = True
+    # per-tap matmul lowering for the k4-s2 down-convs where it measured
+    # 1.6-2.2x faster on v5e (ops/conv.down_conv4 shape dispatch; see
+    # scripts/bench_conv_down.py). Default set by the end-to-end engine A/B
+    # (scripts/ab_lowerings.py).
+    tapmm_down: bool = False
 
 
 @dataclass
@@ -318,6 +323,8 @@ def parse_config(argv: list[str] | None = None, preset: str | None = None) -> Co
     # build-time lowering switch — every entry point funnels through here,
     # so this is the single application site (a process-global compilation
     # choice, not training state)
-    from semantic_segmentation_tpu.ops.conv import use_packed_transpose
+    from semantic_segmentation_tpu.ops.conv import (use_packed_transpose,
+                                                    use_tapmm_down)
     use_packed_transpose(cfg.model.convt_packed)
+    use_tapmm_down(cfg.model.tapmm_down)
     return cfg

@@ -28,6 +28,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from semantic_segmentation_tpu.ops.flax_layers import (
+    DownConv4,
     TorchConvTranspose,
     pix2pix_normal_init,
 )
@@ -82,9 +83,8 @@ class UnetGenerator(nn.Module):
             skip = h
             if d > 0:
                 h = nn.leaky_relu(h, 0.2)
-            h = nn.Conv(inner[d], (4, 4), strides=2, padding=1,
-                        use_bias=use_bias, kernel_init=_INIT, dtype=self.dtype,
-                        name=f"down{d}")(h)
+            h = DownConv4(inner[d], use_bias=use_bias, kernel_init=_INIT,
+                          dtype=self.dtype, name=f"down{d}")(h)
             if 0 < d < nd - 1:
                 h = _norm(self.norm, train, self.dtype, f"down_bn{d}")(h)
             if d < nd - 1:
@@ -195,15 +195,15 @@ class NLayerDiscriminator(nn.Module):
     def __call__(self, x, train: bool = False):
         use_bias = self.norm == "instance"
         x = x.astype(self.dtype or x.dtype)
-        h = nn.Conv(self.ndf, (4, 4), strides=2, padding=1, kernel_init=_INIT,
-                    dtype=self.dtype, name="conv0")(x)
+        h = DownConv4(self.ndf, kernel_init=_INIT, dtype=self.dtype,
+                      name="conv0")(x)
         h = nn.leaky_relu(h, 0.2)
         nf_mult = 1
         for n in range(1, self.n_layers):
             nf_mult = min(2 ** n, 8)
-            h = nn.Conv(self.ndf * nf_mult, (4, 4), strides=2, padding=1,
-                        use_bias=use_bias, kernel_init=_INIT,
-                        dtype=self.dtype, name=f"conv{n}")(h)
+            h = DownConv4(self.ndf * nf_mult, use_bias=use_bias,
+                          kernel_init=_INIT, dtype=self.dtype,
+                          name=f"conv{n}")(h)
             h = _norm(self.norm, train, self.dtype, f"bn{n}")(h)
             h = nn.leaky_relu(h, 0.2)
         nf_mult = min(2 ** self.n_layers, 8)

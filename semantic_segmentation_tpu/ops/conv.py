@@ -48,6 +48,69 @@ _PACKED_TRANSPOSE = False
 # default ON since the real-v5e in-program A/B (scripts/ab_lowerings.py):
 # with the reshape pool, 19.85 -> 20.20 it/s on the flagship iteration
 _TAPMM_HEAD = True
+_TAPMM_DOWN = False
+
+
+def use_tapmm_down(enable: bool) -> None:
+    """Process-wide switch (cfg.model.tapmm_down): route eligible k4-s2-p1
+    down-convs through the per-tap matmul lowering (conv_down_tapmm). A
+    build-time compilation choice, not training state — same math to
+    accumulation-order rounding."""
+    global _TAPMM_DOWN
+    _TAPMM_DOWN = bool(enable)
+
+
+def _shift2d(p, dr: int, dc: int):
+    """p'[(i, j)] = p[(i+dr, j+dc)] with zero fill (dr, dc in {-1, 0, 1})."""
+    B, H, W, C = p.shape
+    p = jnp.pad(p, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    return lax.dynamic_slice(p, (0, 1 + dr, 1 + dc, 0), (B, H, W, C))
+
+
+def conv_down_tapmm(x, w_hwio, b=None, compute_dtype=None):
+    """``Conv2d(k=4, stride=2, padding=1)`` as 16 dense per-tap matmuls
+    over the 2x2 phase-split input — no conv primitive at all: input index
+    (2i+dy-1, 2j+dx-1) = phase ((dy-1)%2, (dx-1)%2) shifted by
+    ((dy-1)//2, (dx-1)//2), each tap one (B*Ho*Wo, C) @ (C, Cout) einsum
+    with f32 accumulation.
+
+    Measured on v5e at the flagship layer shapes
+    (scripts/bench_conv_down.py, two-point-slope timing): 1.6-2.2x faster
+    than XLA's strided conv fwd+bwd for H_in >= 32 and C_in >= 64 (G_d2:
+    301 -> 141 us, D_c1: 300 -> 138 us; the bwd gain is the strided dgrad
+    that XLA lowers through input dilation). XLA stays faster for tiny
+    spatial (<= 16^2 inputs) and tiny channel counts, hence the dispatch
+    gate in down_conv4."""
+    if compute_dtype is not None:
+        x, w_hwio = x.astype(compute_dtype), w_hwio.astype(compute_dtype)
+    B, H, W, C = x.shape
+    Ho, Wo = H // 2, W // 2
+    c_out = w_hwio.shape[-1]
+    xp = x.reshape(B, Ho, 2, Wo, 2, C)
+    acc = jnp.zeros((B, Ho, Wo, c_out), jnp.float32)
+    for dy in range(4):
+        r, orr = (dy - 1) % 2, (dy - 1) // 2
+        for dx in range(4):
+            c, occ = (dx - 1) % 2, (dx - 1) // 2
+            ph = xp[:, :, r, :, c, :]
+            if orr or occ:
+                ph = _shift2d(ph, orr, occ)
+            acc = acc + jnp.einsum("bhwc,cf->bhwf", ph, w_hwio[dy, dx],
+                                   preferred_element_type=jnp.float32)
+    y = acc.astype(x.dtype)
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def down_conv4(x, w_hwio, b=None, compute_dtype=None):
+    """The k4-s2-p1 down-conv with a shape-dispatched lowering: the
+    per-tap matmul form where it measured faster (H_in >= 32, C_in >= 64 —
+    see conv_down_tapmm), XLA's conv otherwise. Gated by use_tapmm_down."""
+    if _TAPMM_DOWN and x.shape[1] >= 32 and x.shape[-1] >= 64:
+        return conv_down_tapmm(x, w_hwio, b, compute_dtype)
+    return conv_nd(x, w_hwio, b, stride=2, padding=1,
+                   compute_dtype=compute_dtype)
 
 
 def use_packed_transpose(enable: bool) -> None:

@@ -130,6 +130,29 @@ def reinit_params(key, params, init_type: str = "normal",
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
+class DownConv4(nn.Module):
+    """Drop-in for ``nn.Conv(features, (4, 4), strides=2, padding=1)``
+    (the generator/discriminator down-convs, reference networks.py:582,
+    :620-665) with a dispatchable lowering: XLA's strided conv, or the
+    per-tap matmul form where it measured 1.6-2.2x faster on v5e
+    (ops/conv.down_conv4, gated by cfg.model.tapmm_down). Identical param
+    names/shapes/init to nn.Conv, so checkpoints and torch ports are
+    unaffected."""
+    features: int
+    use_bias: bool = True
+    kernel_init: Callable = None  # type: ignore[assignment]
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        from semantic_segmentation_tpu.ops.conv import down_conv4
+        kernel = self.param("kernel", self.kernel_init,
+                            (4, 4, x.shape[-1], self.features))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        return down_conv4(x, kernel, bias, compute_dtype=self.dtype)
+
+
 class TorchConvTranspose(nn.Module):
     """``nn.ConvTranspose2d/3d(k, stride, padding)`` with torch output-size
     semantics; kernel stored as the forward-equivalent (flipped) HWIO tensor."""
