@@ -44,6 +44,12 @@ KERNELS = (4, 6, 8)   # candidate (de)conv taps, architecture_pix2pix/
 def run(tag: str, hypergrad: str, iters: int):
     cfg = parse_config([], preset="end2end_nas")
     cfg.engine.hypergrad = hypergrad
+    # reference arch_lr is 1e-6 (scripts/train_end2end_jsrt.sh) — far too
+    # small to move the tables meaningfully in 5k steps even with a live
+    # hypergradient; NAS_ARCH_LR lets the demonstration run show real
+    # search movement
+    cfg.optim.arch_lr = float(os.environ.get("NAS_ARCH_LR",
+                                             cfg.optim.arch_lr))
     cfg.data.synthetic = True
     cfg.data.image_size = 256
     cfg.data.n_train = 7
