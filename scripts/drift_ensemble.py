@@ -46,6 +46,14 @@ os.environ.setdefault("JAX_PLATFORMS", "")
 import jax
 jax.config.update("jax_platforms", "cpu")
 
+from semantic_segmentation_tpu.core.cache import enable_persistent_cache
+
+# Host-fingerprinted persistent compile cache: the flagship-width engine
+# compile costs ~20+ min on a 1-core host, so an interrupted run must not
+# lose it (no model.remat program here, so the known remat-serialization
+# crash documented in CLAUDE.md does not apply).
+enable_persistent_cache()
+
 import jax.numpy as jnp
 import numpy as np
 import torch
@@ -155,9 +163,11 @@ def run_seed(seed: int, n_steps: int, flagship: bool, with_ulp: bool):
         stack = {n: jax.tree.map(lambda x: jnp.asarray(x)[None], b)
                  for n, b in batches.items()}
         key = jax.random.fold_in(root, step)
+        t_step0 = time.time()
         state, metrics = engine.engine_step(state, stack, stack["unet"], key)
         for k in ours:
             ours[k].append(float(metrics[f"loss_{k}"]))
+        t_jax = time.time()
 
         # replay the engine's key schedule for the unet problem's fake mask
         # (see tests/test_long_drift.py:209-220 for the derivation)
@@ -174,9 +184,11 @@ def run_seed(seed: int, n_steps: int, flagship: bool, with_ulp: bool):
             rng_states[name] = torch.get_rng_state()
             for k, v in zip(("netG", "netD", "unet"), (lg, ld, lu)):
                 theirs[name][k].append(v)
-        if (step + 1) % 100 == 0 or (flagship and (step + 1) % 5 == 0):
+        if (step + 1) % 100 == 0 or flagship:
             print(f"# seed {seed}: step {step + 1}/{n_steps} "
-                  f"(t+{time.time() - t0:.0f}s)", file=sys.stderr, flush=True)
+                  f"(t+{time.time() - t0:.0f}s, jax {t_jax - t_step0:.1f}s, "
+                  f"torch {time.time() - t_jax:.1f}s)",
+                  file=sys.stderr, flush=True)
 
     test_mask = (rng_np.random((8, size, size, 1)) > 0.6).astype(np.float32)
     test_img = rng_np.random((8, size, size, 1)).astype(np.float32)
