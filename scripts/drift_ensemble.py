@@ -185,10 +185,16 @@ def run_seed(seed: int, n_steps: int, flagship: bool, with_ulp: bool):
             for k, v in zip(("netG", "netD", "unet"), (lg, ld, lu)):
                 theirs[name][k].append(v)
         if (step + 1) % 100 == 0 or flagship:
-            print(f"# seed {seed}: step {step + 1}/{n_steps} "
-                  f"(t+{time.time() - t0:.0f}s, jax {t_jax - t_step0:.1f}s, "
-                  f"torch {time.time() - t_jax:.1f}s)",
-                  file=sys.stderr, flush=True)
+            line = (f"# seed {seed}: step {step + 1}/{n_steps} "
+                    f"(t+{time.time() - t0:.0f}s, jax {t_jax - t_step0:.1f}s,"
+                    f" torch {time.time() - t_jax:.1f}s)")
+            if flagship:
+                # incremental evidence: a killed run still leaves the
+                # per-step paired losses analyzable from its log
+                line += " " + json.dumps({
+                    k: [round(ours[k][-1], 6),
+                        round(theirs["base"][k][-1], 6)] for k in ours})
+            print(line, file=sys.stderr, flush=True)
 
     test_mask = (rng_np.random((8, size, size, 1)) > 0.6).astype(np.float32)
     test_img = rng_np.random((8, size, size, 1)).astype(np.float32)
