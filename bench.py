@@ -35,14 +35,36 @@ keeps the stdout tail, so a later slow/hung stage can no longer void the
 round; missing auxiliary rows degrade to null (+ an explicit *_cached
 carry for the 3D row).
 
+Per-stage cost telemetry (VERDICT r4 item 1): round 4's driver run finished
+only 2/5 stages at ~600 s/stage where the builder's own run did 5/5 at
+~290 s/stage, and the emitted JSON could not say why. Every stage now
+reports its own {t_state, t_device_put, t_compile, t_warmup, t_measure}
+split plus whether the state came from the disk cache and whether the XLA
+compile wrote new persistent-cache entries, and the cumulative emission
+carries the full per-stage table — a driver-vs-builder gap is diagnosable
+from the artifact alone. Budget claims in this file are therefore
+conditional on the telemetry, not asserted.
+
+Stage-cost surgery, round 5: the dominant warm-stage cost was the flax init
+(~82 s on the host CPU) re-paid by EVERY stage. The four 2D stages share one
+initial EngineState (init depends only on the model config + seed, not on
+batch size / remat / hypergrad mode), so the state pytree is now pickled to
+the cache dir after the first init and later stages load it from disk in
+seconds (numpy arrays — host-independent, unlike XLA:CPU AOT entries). The
+3D stage gets its own cached state. Worst case per stage drops to
+device_put + (cached) compile + warmup + a short measurement.
+
 Last line printed is the result: {"metric", "value", "unit",
 "vs_baseline", ...}.
 """
 
 from __future__ import annotations
 
+import glob
+import hashlib
 import json
 import os
+import re
 import subprocess
 import sys
 import time
@@ -53,29 +75,15 @@ import numpy as np
 BASELINE_ITERS_PER_SEC = 5000.0 / (1.5 * 3600.0)  # A100-40G reference
 S = 25  # chunk size (one validation interval)
 
-# ---------------------------------------------------------------------------
-# Per-stage cost surgery (VERDICT r3 item 2): round 3 capped live coverage
-# at 2 of 5 stages because a warm stage still cost ~6 min. Profiled live on
-# the tunnel this round, the warm-stage breakdown was NOT what r3 assumed:
-# trace+SPMD-lower is 8 s, the persistent-cache compile hit is 3 s, the
-# first chunk 10 s — but building the engine state on the tunneled TPU
-# device cost 208 s (flax init dispatches hundreds of small host->tunnel
-# roundtrips). PJRT executable serialization was implemented and measured
-# as the alternative: deserialize is 5 s but the first call then ships the
-# 340 MB loaded executable through the tunnel at ~2 MB/s (188 s) — slower
-# than just recompiling against the warm persistent cache, so it was
-# dropped. The fix that sticks: run init on the HOST CPU backend (82 s cold,
-# one compile each instead of tunnel roundtrips) and device_put the state
-# to the TPU once (3.7 GB at ~130 MB/s = 28 s) — warm stage total ~2.5 min,
-# all five stages fit the 20-min driver budget.
-# ---------------------------------------------------------------------------
-
 
 def hostinit(build_fn, *args):
     """Run a state builder with init placed on the host CPU backend. The
     caller then `jax.device_put`s the state pytree to the TPU once. Init is
     bit-identical across backends (threefry PRNG + deterministic
-    elementwise ops).
+    elementwise ops). Rationale: flax init dispatched through the tunnel
+    costs hundreds of small host->TPU roundtrips (~208 s measured r4);
+    host-side init is one CPU compile each (~82 s cold) + one bulk
+    device_put.
 
     The persistent cache dir is switched to the host-fingerprinted subdir
     for the duration (XLA:CPU AOT entries are machine-feature-keyed; a
@@ -93,6 +101,61 @@ def hostinit(build_fn, *args):
             return build_fn(*args)
     finally:
         enable_persistent_cache(host_keyed=False)
+
+
+def _cache_root() -> str:
+    return os.environ.get(
+        "GENSEG_TPU_CACHE", os.path.join(os.path.expanduser("~"),
+                                         ".cache", "genseg_tpu_xla"))
+
+
+def load_or_init_state(tag: str, build_fn, *args):
+    """Initial EngineState via a disk cache shared across stages (and across
+    hosts: plain numpy pickles, no machine-feature keying). Returns
+    (state_pytree_on_host, source) with source in {'disk', 'init'}. Any
+    load failure falls back to a fresh init + rewrite."""
+    import pickle
+
+    import jax
+    d = os.path.join(_cache_root(), "state_cache")
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"{tag}-jax{jax.__version__}.pkl")
+    if os.path.exists(path):
+        try:
+            with open(path, "rb") as f:
+                return pickle.load(f), "disk"
+        except Exception as e:  # stale/corrupt entry: rebuild below
+            print(f"state cache load failed ({e}); re-initializing",
+                  file=sys.stderr)
+    state = hostinit(build_fn, *args)
+    state_np = jax.tree.map(np.asarray, jax.device_get(state))
+    try:
+        with open(path + ".tmp", "wb") as f:
+            pickle.dump(state_np, f, protocol=4)
+        os.replace(path + ".tmp", path)
+    except OSError as e:
+        print(f"state cache write failed ({e})", file=sys.stderr)
+    return state_np, "init"
+
+
+def _state_key(cfg) -> str:
+    """Hash of everything the initial EngineState depends on: the model
+    config (minus ``remat``, which changes the compiled program but not the
+    init) + image size. Batch size and engine.hypergrad do not enter init,
+    so headline/darts/capacity/capacity32 share one cache entry."""
+    import dataclasses
+    m = dataclasses.asdict(cfg.model)
+    m.pop("remat", None)
+    m["image_size"] = cfg.data.image_size
+    return hashlib.sha256(
+        json.dumps(m, sort_keys=True, default=str).encode()).hexdigest()[:12]
+
+
+def _count_cache_entries() -> int:
+    try:
+        return sum(1 for _ in os.scandir(_cache_root()))
+    except OSError:
+        return 0
 
 
 def _flops_of(compiled) -> float | None:
@@ -123,6 +186,8 @@ def run_stage_3d() -> dict:
     from semantic_segmentation_tpu.engine.bilevel import BilevelEngine
     from semantic_segmentation_tpu.train.train_end2end_3d import GenSeg3D
 
+    t = {}
+    t0 = time.perf_counter()
     cfg = parse_config([], preset="end2end_3d")
     cfg.data.synthetic = True
     crop, batch = 64, cfg.data.batch_size
@@ -134,8 +199,13 @@ def run_stage_3d() -> dict:
                            unroll_steps=cfg.engine.unroll_steps,
                            roll_back=cfg.engine.roll_back,
                            hypergrad=cfg.engine.hypergrad)
-    state = hostinit(model.init_state, engine, jax.random.key(0), crop)
+    state, src = load_or_init_state(f"end2end3d-{crop}", model.init_state,
+                                    engine, jax.random.key(0), crop)
+    t["t_state"], t["state_source"] = round(time.perf_counter() - t0, 1), src
+    t1 = time.perf_counter()
     state = jax.device_put(state, jax.devices()[0])
+    jax.block_until_ready(state)
+    t["t_device_put"] = round(time.perf_counter() - t1, 1)
     data = stack_dataset(SyntheticVolumeDataset(n=4, size=crop))
     train_dev = device_put_split({k: np.asarray(v) for k, v in data.items()})
     val_dev = device_put_split(
@@ -151,25 +221,33 @@ def run_stage_3d() -> dict:
         return idx, vidx
 
     idx0, vidx0 = draw_idx()
+    t1, n_cache0 = time.perf_counter(), _count_cache_entries()
     compiled = type(engine).engine_run_chunk.lower(
         engine, state, train_dev, val_dev, idx0, vidx0, jnp.int32(0),
         root, names).compile()
+    t["t_compile"] = round(time.perf_counter() - t1, 1)
+    t["compile_new_cache_entries"] = _count_cache_entries() - n_cache0
 
     def run_chunk(state, i):
         idx, vidx = (idx0, vidx0) if i == 0 else draw_idx()
         return compiled(state, train_dev, val_dev, idx, vidx,
                         jnp.int32(i * S), root)
 
-    state, metrics = run_chunk(state, 0)   # warmup
+    t1 = time.perf_counter()
+    state, metrics = run_chunk(state, 0)   # warmup (incl. executable upload)
     jax.device_get(metrics)                # true sync (tunneled backend)
-    t0 = time.perf_counter()
+    t["t_warmup"] = round(time.perf_counter() - t1, 1)
+    t1 = time.perf_counter()
     for i in range(1, 3):   # 2 timed chunks: the stage must stay cheap
         state, metrics = run_chunk(state, i)
     jax.device_get(metrics)
-    return {"iters_per_sec": 2 * S / (time.perf_counter() - t0),
+    dt = time.perf_counter() - t1
+    t["t_measure"] = round(dt, 1)
+    t["t_total"] = round(time.perf_counter() - t0, 1)
+    return {"iters_per_sec": 2 * S / dt,
             "batch_size": batch, "crop": crop,
             "device_kind": jax.devices()[0].device_kind,
-            "n_devices": jax.device_count()}
+            "n_devices": jax.device_count(), "telemetry": t}
 
 
 def run_stage(stage: str) -> dict:
@@ -188,11 +266,17 @@ def run_stage(stage: str) -> dict:
     from semantic_segmentation_tpu.data import SyntheticSegDataset, stack_dataset
     from semantic_segmentation_tpu.data.pipeline import device_put_split
     from semantic_segmentation_tpu.train.train_end2end import (
-        build_engine_and_state)
+        build_engine, init_engine_state)
 
+    t = {}
+    t0 = time.perf_counter()
     batch_size = {"capacity": 8, "capacity16": 16, "capacity32": 32}.get(
         stage, 2)
-    n_chunks = {"capacity": 4, "capacity16": 3, "capacity32": 2}.get(stage, 8)
+    # Measurement lengths (VERDICT r4 item 1: shorter measurements so the
+    # worst-case stage fits a degraded-tunnel round; 2-3 chunks of 25 iters
+    # give a stable slope — the spread across chunks was <2% in r4):
+    n_chunks = {"headline": 6, "darts": 3, "capacity": 3,
+                "capacity16": 2, "capacity32": 2}[stage]
     overrides = ["--engine.hypergrad=darts"] if stage == "darts" else []
 
     cfg = parse_config(overrides, preset="end2end_jsrt")
@@ -202,9 +286,15 @@ def run_stage(stage: str) -> dict:
     if stage in ("capacity16", "capacity32"):
         cfg.model.remat = True         # recompute activations in the bwd
     # full reference model sizes: ngf=ndf=64, unet_256, UNet-64
-    engine, state, _, _ = hostinit(build_engine_and_state, cfg,
-                                   jax.random.key(0))
+    engine, p2p, seg = build_engine(cfg)   # cheap: no init
+    state, src = load_or_init_state(f"end2end-{_state_key(cfg)}",
+                                    init_engine_state, cfg, engine, p2p, seg,
+                                    jax.random.key(0))
+    t["t_state"], t["state_source"] = round(time.perf_counter() - t0, 1), src
+    t1 = time.perf_counter()
     state = jax.device_put(state, jax.devices()[0])
+    jax.block_until_ready(state)
+    t["t_device_put"] = round(time.perf_counter() - t1, 1)
 
     data = stack_dataset(SyntheticSegDataset(n=7, size=256))
     train_dev = device_put_split({k: np.asarray(v) for k, v in data.items()})
@@ -224,9 +314,12 @@ def run_stage(stage: str) -> dict:
     # once via .lower().compile() for flops — which doubled the cold-stage
     # cost through the tunnel, the r2 bench-timeout failure mode).
     idx0, vidx0 = draw_idx()
+    t1, n_cache0 = time.perf_counter(), _count_cache_entries()
     compiled = type(engine).engine_run_chunk.lower(
         engine, state, train_dev, val_dev, idx0, vidx0, jnp.int32(0),
         root, names).compile()
+    t["t_compile"] = round(time.perf_counter() - t1, 1)
+    t["compile_new_cache_entries"] = _count_cache_entries() - n_cache0
     flops_per_iter = _flops_of(compiled)
 
     def run_chunk(state, i):
@@ -234,38 +327,66 @@ def run_stage(stage: str) -> dict:
         return compiled(state, train_dev, val_dev, idx, vidx,
                         jnp.int32(i * S), root)
 
-    # warmup, with a true sync
+    # warmup (includes shipping the loaded executable through the tunnel),
+    # with a true sync
+    t1 = time.perf_counter()
     state, metrics = run_chunk(state, 0)
     jax.device_get(metrics)
-    t0 = time.perf_counter()
+    t["t_warmup"] = round(time.perf_counter() - t1, 1)
+    t1 = time.perf_counter()
     for i in range(1, n_chunks + 1):
         state, metrics = run_chunk(state, i)
     jax.device_get(metrics)           # sync on the final chunk's output
-    iters_per_sec = n_chunks * S / (time.perf_counter() - t0)
+    iters_per_sec = n_chunks * S / (time.perf_counter() - t1)
+    t["t_measure"] = round(time.perf_counter() - t1, 1)
+    t["t_total"] = round(time.perf_counter() - t0, 1)
 
     out = {"iters_per_sec": iters_per_sec, "batch_size": batch_size,
            "device_kind": jax.devices()[0].device_kind,
-           "n_devices": jax.device_count()}
+           "n_devices": jax.device_count(), "telemetry": t}
     if flops_per_iter:
         # FLOPs of one engine iteration from the compiled executable
         out["flops_per_iter"] = flops_per_iter
     return out
 
 
-# Last locally-measured auxiliary values (v5e-lite), carried into the
-# headline JSON as explicit *_cached fields when their stage cannot run
-# inside the wall-clock budget, so a slow round degrades gracefully instead
-# of voiding rows (VERDICT r2 item 6). With host-side init + a warm
-# persistent compile cache a stage costs ~2.5 min (see the cost-surgery
-# note above), so all five stages normally fit the default budget and these
-# carries only cover cold-cache or degraded-tunnel rounds.
-LAST_MEASURED = {
-    "bench3d": 5.70,    # 64^3 batch 1 (r4 all-5-stage capture, rc=0)
-    "capacity": 11.34,  # batch 8, no remat (r4 capture)
-    "darts": 9.89,      # unelided darts mode, batch 2 (r4 capture)
-    "headline": 20.19,  # flagship preset, batch 2 (r4 capture) — used ONLY
-                        # for the clearly-marked preliminary line below
-}
+def load_last_measured():
+    """Carry values for stages that cannot run inside the wall-clock budget,
+    read from the NEWEST committed BENCH artifact that measured them live —
+    never hand-edited constants (VERDICT r4 item 7). Returns
+    ({stage: value}, {stage: source_filename}). Artifacts are ranked by the
+    round number in the filename (mtime breaks ties — fresh checkouts reset
+    mtimes, so the name is the authority)."""
+    fields = {"headline": "value", "darts": "iters_per_sec_darts_mode",
+              "capacity": "batch8_iters_per_sec",
+              "bench3d": "iters_per_sec_3d"}
+    repo = os.path.dirname(os.path.abspath(__file__))
+    arts = []
+    for p in glob.glob(os.path.join(repo, "BENCH_*.json")):
+        m = re.search(r"(\d+)", os.path.basename(p))
+        try:
+            with open(p) as f:
+                d = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if isinstance(d, dict) and isinstance(d.get("parsed"), dict):
+            d = d["parsed"]  # driver capture format: {"tail", "parsed", ...}
+        if not isinstance(d, dict) or "metric" not in d:
+            continue
+        arts.append((int(m.group(1)) if m else -1, os.path.getmtime(p),
+                     os.path.basename(p), d))
+    arts.sort(key=lambda a: (a[0], a[1]), reverse=True)
+    vals, srcs = {}, {}
+    for stage, key in fields.items():
+        for _, _, name, d in arts:
+            v = d.get(key)
+            if isinstance(v, (int, float)) and v:
+                vals[stage], srcs[stage] = round(float(v), 4), name
+                break
+    return vals, srcs
+
+
+LAST_MEASURED, LAST_MEASURED_SRC = load_last_measured()
 
 # Hard wall-clock budget for the WHOLE bench (driver runs it under its own
 # timeout; round 2 died at rc=124 with nothing printed). Stage results are
@@ -315,6 +436,12 @@ def emit(results: dict, t_start: float, note: str = ""):
     ips = head["iters_per_sec"] if head else None
     flops = head.get("flops_per_iter") if head else None
     n_dev = head["n_devices"] if head else 1
+    cached_used = {}  # stage -> artifact the carry came from
+
+    def carry(stage):
+        cached_used[stage] = LAST_MEASURED_SRC.get(stage, "?")
+        return LAST_MEASURED.get(stage)
+
     out = {
         "metric": "end2end_bilevel_iters_per_sec",
         "value": round(ips, 4) if ips else None,
@@ -330,12 +457,11 @@ def emit(results: dict, t_start: float, note: str = ""):
         # (train_end2end_jsrt.py:177-226), so 2 * batch seg images/iter.
         "seg_imgs_per_sec_per_chip": (round(2 * 2 * ips / n_dev, 2)
                                       if ips else None),
-        **({"value_cached": LAST_MEASURED["headline"]} if cached_head
-           else {}),
+        **({"value_cached": carry("headline")} if cached_head else {}),
         "iters_per_sec_darts_mode": (round(darts["iters_per_sec"], 4)
                                      if darts else None),
         **({} if darts else
-           {"iters_per_sec_darts_mode_cached": LAST_MEASURED["darts"]}),
+           {"iters_per_sec_darts_mode_cached": carry("darts")}),
         "flops_per_iter": flops,
         "mfu": mfu_of(flops, ips),
         "mfu_note": ("regime-bound: batch 2 at 256^2 is far too little work "
@@ -351,7 +477,7 @@ def emit(results: dict, t_start: float, note: str = ""):
         "batch8_mfu": (mfu_of(cap.get("flops_per_iter"),
                               cap["iters_per_sec"]) if cap else None),
         **({} if cap else
-           {"batch8_iters_per_sec_cached": LAST_MEASURED["capacity"]}),
+           {"batch8_iters_per_sec_cached": carry("capacity")}),
         # capacity with model.remat at batch 32 (fallback 16): activations
         # recomputed in the bwd so the big batch fits 16 GB — the regime
         # where the MXU finally gets real per-step work (VERDICT r2 item 5)
@@ -366,11 +492,23 @@ def emit(results: dict, t_start: float, note: str = ""):
         "n_devices": n_dev,
         "stages_completed": sorted(results),
         "elapsed_sec": round(time.perf_counter() - t_start, 1),
+        # per-stage cost split {t_state/t_device_put/t_compile/t_warmup/
+        # t_measure} + state_source/compile_new_cache_entries + the parent-
+        # side subprocess wall (includes interpreter + backend init), so a
+        # slow round is diagnosable from this artifact alone (VERDICT r4)
+        "stage_telemetry": {s: {**r.get("telemetry", {}),
+                                "stage_wall_sec": r.get("stage_wall_sec")}
+                            for s, r in results.items()},
     }
     if not (b3d and b3d.get("iters_per_sec")):
-        out["iters_per_sec_3d_cached"] = LAST_MEASURED["bench3d"]
+        out["iters_per_sec_3d_cached"] = carry("bench3d")
+    if cached_used:
+        # every carry names the committed artifact it was read from
+        # (load_last_measured — no hand-edited constants)
+        out["cached_provenance"] = cached_used
     if cached_head:
-        out["headline_source"] = "cached_last_measured_r4"
+        out["headline_source"] = ("cached:" +
+                                  LAST_MEASURED_SRC.get("headline", "?"))
         note = ("PRELIMINARY: no live stage finished yet; value is null, "
                 "value_cached carries the last measured headline (same "
                 "chip/program). " + note).strip()
@@ -388,12 +526,10 @@ def main():
     # headline FIRST so the wall-clock-relevant number is captured before
     # anything slow can eat the budget (VERDICT r2: the old order measured
     # the headline last and a timeout voided the whole round)
-    # Slot order = value order under a tight budget (measured warm on the
-    # tunnel: headline ~6 min, darts ~10, capacity32 ~13, capacity ~11):
-    # the headline number first, then the apples-to-apples darts mode
-    # (both fit the default 20-min budget), then the remat capacity row,
-    # then the re-measured auxiliary rows. Each slot lists alternatives
-    # tried in order (capacity32 falls back to batch 16 if 32 won't fit).
+    # Slot order = value order under a tight budget. Per-stage costs are no
+    # longer asserted here — each stage reports its own telemetry split and
+    # the parent records its subprocess wall below; see stage_telemetry in
+    # the emitted JSON for what THIS run actually paid per stage.
     for slot in (("headline",), ("darts",), ("capacity32", "capacity16"),
                  ("capacity",), ("bench3d",)):
         note = ""
@@ -404,6 +540,7 @@ def main():
                 if remaining < 60:
                     note = f"budget exhausted before stage {stage}"
                     break
+                t_sub = time.perf_counter()
                 try:
                     proc = subprocess.run(
                         [sys.executable, os.path.abspath(__file__)],
@@ -416,6 +553,8 @@ def main():
                         if l][-1:]
                 if proc.returncode == 0 and last:
                     results[stage] = json.loads(last[0])
+                    results[stage]["stage_wall_sec"] = round(
+                        time.perf_counter() - t_sub, 1)
                     done = True
                     break
                 print(f"stage {stage} attempt {attempt} failed: "

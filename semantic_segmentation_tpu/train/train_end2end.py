@@ -162,8 +162,11 @@ def build_problems(cfg: Config, p2p: Pix2Pix, seg: SegProblem):
     return problems, outer_loss
 
 
-def build_engine_and_state(cfg: Config, rng):
-    """Construct models, problems, engine, and the initial EngineState."""
+def build_engine(cfg: Config):
+    """Construct the models/problems/engine WITHOUT initializing any state.
+    Cheap (module objects + closures only) — bench.py uses it to pair a
+    fresh engine with a disk-cached initial EngineState, skipping the
+    per-stage init cost."""
     dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
     p2p = build_pix2pix(cfg)
     from semantic_segmentation_tpu.train.common import seg_model_kwargs
@@ -174,14 +177,6 @@ def build_engine_and_state(cfg: Config, rng):
                      else "dice",
                      compute_dtype=dtype,
                      accumulate=cfg.optim.accumulate, **kw)
-    k1, k2 = jax.random.split(rng)
-    p2p_state = p2p.init(k1, cfg.data.image_size)
-    if cfg.run.pretrained_pix2pix:
-        p2p_state = load_model(p2p_state, cfg.run.pretrained_pix2pix)
-    seg_state = seg.init(k2, cfg.data.image_size)
-    from semantic_segmentation_tpu.train.common import apply_seg_pretrained
-    seg_state = apply_seg_pretrained(cfg, seg_state)
-
     problems, outer_loss = build_problems(cfg, p2p, seg)
     # end2end arch optimizer: Adam(arch_lr, (0.5, 0.999), wd=1e-5)
     # (train_end2end_jsrt.py:324)
@@ -193,7 +188,21 @@ def build_engine_and_state(cfg: Config, rng):
                            hypergrad=cfg.engine.hypergrad,
                            darts_epsilon=cfg.engine.darts_epsilon,
                            arch_children=tuple(cfg.engine.arch_children))
-    state = engine.init(
+    return engine, p2p, seg
+
+
+def init_engine_state(cfg: Config, engine: BilevelEngine, p2p: Pix2Pix,
+                      seg: SegProblem, rng):
+    """The expensive half of build_engine_and_state: flax inits for all
+    three nets + optimizer/arch state assembly."""
+    k1, k2 = jax.random.split(rng)
+    p2p_state = p2p.init(k1, cfg.data.image_size)
+    if cfg.run.pretrained_pix2pix:
+        p2p_state = load_model(p2p_state, cfg.run.pretrained_pix2pix)
+    seg_state = seg.init(k2, cfg.data.image_size)
+    from semantic_segmentation_tpu.train.common import apply_seg_pretrained
+    seg_state = apply_seg_pretrained(cfg, seg_state)
+    return engine.init(
         params={"netG": p2p_state.g_params, "netD": p2p_state.d_params,
                 "unet": seg_state.params},
         stats={"netG": p2p_state.g_stats, "netD": p2p_state.d_stats,
@@ -201,6 +210,12 @@ def build_engine_and_state(cfg: Config, rng):
         opts={"netG": p2p_state.opt_g, "netD": p2p_state.opt_d,
               "unet": seg_state.opt},
         arch=p2p_state.arch)
+
+
+def build_engine_and_state(cfg: Config, rng):
+    """Construct models, problems, engine, and the initial EngineState."""
+    engine, p2p, seg = build_engine(cfg)
+    state = init_engine_state(cfg, engine, p2p, seg, rng)
     return engine, state, p2p, seg
 
 

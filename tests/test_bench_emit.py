@@ -38,7 +38,8 @@ def test_preliminary_line_is_complete_and_marked(capsys):
     assert out["vs_baseline"] is None
     assert out["seg_imgs_per_sec_per_chip"] is None
     assert out["value_cached"] == mod.LAST_MEASURED["headline"]
-    assert out["headline_source"] == "cached_last_measured_r4"
+    assert out["headline_source"] == (
+        "cached:" + mod.LAST_MEASURED_SRC["headline"])
     assert "PRELIMINARY" in out["note"]
     assert out["stages_completed"] == []
     # unmeasured auxiliary rows carry explicit *_cached values, never
@@ -47,6 +48,30 @@ def test_preliminary_line_is_complete_and_marked(capsys):
     assert out["batch8_iters_per_sec_cached"] == mod.LAST_MEASURED["capacity"]
     assert out["iters_per_sec_3d"] is None
     assert out["iters_per_sec_3d_cached"] == mod.LAST_MEASURED["bench3d"]
+    # every carry names the committed artifact it was read from
+    for stage in ("headline", "darts", "capacity", "bench3d"):
+        assert out["cached_provenance"][stage] == mod.LAST_MEASURED_SRC[stage]
+
+
+def test_last_measured_reads_newest_committed_artifact(capsys):
+    """VERDICT r4 item 7: no hand-edited throughput constants — the carries
+    come from the newest committed BENCH_*.json that measured them live."""
+    import json as _json
+    import os
+    mod = _bench(capsys)
+    repo = __file__.rsplit("/tests/", 1)[0]
+    for stage, src in mod.LAST_MEASURED_SRC.items():
+        path = os.path.join(repo, src)
+        assert os.path.exists(path), (stage, src)
+        with open(path) as f:
+            d = _json.load(f)
+        if isinstance(d.get("parsed"), dict):
+            d = d["parsed"]
+        key = {"headline": "value", "darts": "iters_per_sec_darts_mode",
+               "capacity": "batch8_iters_per_sec",
+               "bench3d": "iters_per_sec_3d"}[stage]
+        assert mod.LAST_MEASURED[stage] == round(float(d[key]), 4)
+        assert mod.LAST_MEASURED[stage] > 0
 
 
 def test_live_headline_overrides_preliminary(capsys):
@@ -65,13 +90,21 @@ def test_live_headline_overrides_preliminary(capsys):
 
 def test_cumulative_rows_fill_in_and_cached_markers_drop(capsys):
     mod = _bench(capsys)
-    results = {"headline": dict(HEAD),
+    results = {"headline": dict(HEAD, telemetry={
+                   "t_state": 10.0, "state_source": "disk", "t_compile": 3.0,
+                   "t_device_put": 28.0, "t_warmup": 9.0, "t_measure": 8.0},
+                   stage_wall_sec=75.0),
                "capacity": {"iters_per_sec": 11.0, "batch_size": 8,
                             "n_devices": 1, "device_kind": "TPU v5 lite"},
                "capacity32": {"iters_per_sec": 2.4, "batch_size": 32,
                               "n_devices": 1, "device_kind": "TPU v5 lite"},
                "bench3d": {"iters_per_sec": 5.7}}
     out = _emit(mod, capsys, results, note="stage darts failed 2x")
+    # per-stage cost split rides the cumulative emission (VERDICT r4 item 1)
+    tel = out["stage_telemetry"]["headline"]
+    assert tel["t_state"] == 10.0 and tel["state_source"] == "disk"
+    assert tel["stage_wall_sec"] == 75.0
+    assert out["stage_telemetry"]["capacity"]["stage_wall_sec"] is None
     assert out["batch8_iters_per_sec"] == 11.0
     assert "batch8_iters_per_sec_cached" not in out
     assert out["batch8_seg_imgs_per_sec_per_chip"] == 176.0  # 2*8*11
