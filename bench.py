@@ -45,14 +45,14 @@ carries the full per-stage table — a driver-vs-builder gap is diagnosable
 from the artifact alone. Budget claims in this file are therefore
 conditional on the telemetry, not asserted.
 
-Stage-cost surgery, round 5: the dominant warm-stage cost was the flax init
-(~82 s on the host CPU) re-paid by EVERY stage. The four 2D stages share one
-initial EngineState (init depends only on the model config + seed, not on
-batch size / remat / hypergrad mode), so the state pytree is now pickled to
-the cache dir after the first init and later stages load it from disk in
-seconds (numpy arrays — host-independent, unlike XLA:CPU AOT entries). The
-3D stage gets its own cached state. Worst case per stage drops to
-device_put + (cached) compile + warmup + a short measurement.
+Stage-cost surgery, round 5: every prior design paid to MOVE the initial
+state to the chip — eager tunnel init (208 s), host init + 3.7 GB
+device_put (28-163 s depending on the tunnel's mood), disk-cached pickles
+(23-148 s to load on a 1-core host). The state is a pure function of the
+config and one PRNG key, so ``device_init`` now runs the ENTIRE init as
+one jitted on-device program: nothing crosses the tunnel, the compile is
+persistent-cached, and the remaining per-stage cost is compile-cache loads
++ warmup + a short measurement (see stage_telemetry).
 
 Last line printed is the result: {"metric", "value", "unit",
 "vs_baseline", ...}.
@@ -61,7 +61,6 @@ Last line printed is the result: {"metric", "value", "unit",
 from __future__ import annotations
 
 import glob
-import hashlib
 import json
 import os
 import re
@@ -76,79 +75,29 @@ BASELINE_ITERS_PER_SEC = 5000.0 / (1.5 * 3600.0)  # A100-40G reference
 S = 25  # chunk size (one validation interval)
 
 
-def hostinit(build_fn, *args):
-    """Run a state builder with init placed on the host CPU backend. The
-    caller then `jax.device_put`s the state pytree to the TPU once. Init is
-    bit-identical across backends (threefry PRNG + deterministic
-    elementwise ops). Rationale: flax init dispatched through the tunnel
-    costs hundreds of small host->TPU roundtrips (~208 s measured r4);
-    host-side init is one CPU compile each (~82 s cold) + one bulk
-    device_put.
-
-    The persistent cache dir is switched to the host-fingerprinted subdir
-    for the duration (XLA:CPU AOT entries are machine-feature-keyed; a
-    foreign host's entries in the shared dir are rejected at load and,
-    with the keys occupied, never re-warmed — cache.py) and back to the
-    shared dir after, so the big TPU engine compiles keep their
-    host-independent entries."""
-    import jax
-    from semantic_segmentation_tpu.core.cache import enable_persistent_cache
-    if jax.default_backend() == "cpu":
-        return build_fn(*args)
-    enable_persistent_cache(host_keyed=True)
-    try:
-        with jax.default_device(jax.devices("cpu")[0]):
-            return build_fn(*args)
-    finally:
-        enable_persistent_cache(host_keyed=False)
-
-
 def _cache_root() -> str:
     return os.environ.get(
         "GENSEG_TPU_CACHE", os.path.join(os.path.expanduser("~"),
                                          ".cache", "genseg_tpu_xla"))
 
 
-def load_or_init_state(tag: str, build_fn, *args):
-    """Initial EngineState via a disk cache shared across stages (and across
-    hosts: plain numpy pickles, no machine-feature keying). Returns
-    (state_pytree_on_host, source) with source in {'disk', 'init'}. Any
-    load failure falls back to a fresh init + rewrite."""
-    import pickle
+def device_init(init_fn, key):
+    """Initialize the FULL engine state in one jitted on-device program.
 
+    The init cost history (telemetry-verified, VERDICT r4 item 1):
+    - eager flax init through the tunnel: hundreds of small host->TPU
+      dispatches, 208 s (r4);
+    - host-CPU init + full-state device_put: 3.7 GB of mostly-zero
+      optimizer state through a tunnel measured anywhere between 130 MB/s
+      and 2 MB/s — 28-163 s of pure transfer (r5 telemetry);
+    - this path: the trace is host-side and abstract, the compile is
+      persistent-cached, the execution is entirely on-device — ZERO state
+      bytes cross the tunnel and no host-side compute remains. Init values
+      are bit-identical (same threefry program, deterministic ops)."""
     import jax
-    d = os.path.join(_cache_root(), "state_cache")
-    os.makedirs(d, exist_ok=True)
-    path = os.path.join(d, f"{tag}-jax{jax.__version__}.pkl")
-    if os.path.exists(path):
-        try:
-            with open(path, "rb") as f:
-                return pickle.load(f), "disk"
-        except Exception as e:  # stale/corrupt entry: rebuild below
-            print(f"state cache load failed ({e}); re-initializing",
-                  file=sys.stderr)
-    state = hostinit(build_fn, *args)
-    state_np = jax.tree.map(np.asarray, jax.device_get(state))
-    try:
-        with open(path + ".tmp", "wb") as f:
-            pickle.dump(state_np, f, protocol=4)
-        os.replace(path + ".tmp", path)
-    except OSError as e:
-        print(f"state cache write failed ({e})", file=sys.stderr)
-    return state_np, "init"
-
-
-def _state_key(cfg) -> str:
-    """Hash of everything the initial EngineState depends on: the model
-    config (minus ``remat``, which changes the compiled program but not the
-    init) + image size. Batch size and engine.hypergrad do not enter init,
-    so headline/darts/capacity/capacity32 share one cache entry."""
-    import dataclasses
-    m = dataclasses.asdict(cfg.model)
-    m.pop("remat", None)
-    m["image_size"] = cfg.data.image_size
-    return hashlib.sha256(
-        json.dumps(m, sort_keys=True, default=str).encode()).hexdigest()[:12]
+    state = jax.jit(init_fn)(key)
+    jax.block_until_ready(state)
+    return state
 
 
 def _count_cache_entries() -> int:
@@ -199,13 +148,10 @@ def run_stage_3d() -> dict:
                            unroll_steps=cfg.engine.unroll_steps,
                            roll_back=cfg.engine.roll_back,
                            hypergrad=cfg.engine.hypergrad)
-    state, src = load_or_init_state(f"end2end3d-{crop}", model.init_state,
-                                    engine, jax.random.key(0), crop)
-    t["t_state"], t["state_source"] = round(time.perf_counter() - t0, 1), src
-    t1 = time.perf_counter()
-    state = jax.device_put(state, jax.devices()[0])
-    jax.block_until_ready(state)
-    t["t_device_put"] = round(time.perf_counter() - t1, 1)
+    state = device_init(lambda k: model.init_state(engine, k, crop),
+                        jax.random.key(0))
+    t["t_state"] = round(time.perf_counter() - t0, 1)
+    t["state_source"] = "device_jit"
     data = stack_dataset(SyntheticVolumeDataset(n=4, size=crop))
     train_dev = device_put_split({k: np.asarray(v) for k, v in data.items()})
     val_dev = device_put_split(
@@ -287,14 +233,11 @@ def run_stage(stage: str) -> dict:
         cfg.model.remat = True         # recompute activations in the bwd
     # full reference model sizes: ngf=ndf=64, unet_256, UNet-64
     engine, p2p, seg = build_engine(cfg)   # cheap: no init
-    state, src = load_or_init_state(f"end2end-{_state_key(cfg)}",
-                                    init_engine_state, cfg, engine, p2p, seg,
-                                    jax.random.key(0))
-    t["t_state"], t["state_source"] = round(time.perf_counter() - t0, 1), src
-    t1 = time.perf_counter()
-    state = jax.device_put(state, jax.devices()[0])
-    jax.block_until_ready(state)
-    t["t_device_put"] = round(time.perf_counter() - t1, 1)
+    state = device_init(
+        lambda k: init_engine_state(cfg, engine, p2p, seg, k),
+        jax.random.key(0))
+    t["t_state"] = round(time.perf_counter() - t0, 1)
+    t["state_source"] = "device_jit"
 
     data = stack_dataset(SyntheticSegDataset(n=7, size=256))
     train_dev = device_put_split({k: np.asarray(v) for k, v in data.items()})
