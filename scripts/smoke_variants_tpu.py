@@ -43,12 +43,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # only shrink the synthetic dataset + logging cadence.
 ROWS: dict[str, dict] = {
     # BBDM pixel-space trainer (BBDM/main.py + Template-BBDM.yaml regime:
-    # 256^2, batch 8, ADM UNet) + the 200-step skip sampler on the result
+    # 256^2, batch 8, ADM UNet) + the 200-step skip sampler on the result.
+    # Template width (model_channels=128, mult (1,4,8)) has a 19.4 GB
+    # f32 state (params+adam+EMA, measured by eval_shape) — it cannot fit
+    # a 16 GB v5e-lite at ANY batch (the reference uses a 40 GB A100), so
+    # the smoke runs the same architecture at model_channels=64 (state
+    # 4.9 GB) and records the deviation.
     "train_bbdm": {"module": "train_bbdm", "preset": "bbdm", "iters": 25,
-                   "sample": True},
+                   "sample": True, "bbdm_channels": 64},
     # 3-problem bilevel with in-step BBDM sampling (BBDM/train_end2end.py)
     "end2end_bbdm": {"module": "train_end2end_bbdm", "preset": "end2end_bbdm",
-                     "iters": 20},
+                     "iters": 20, "bbdm_channels": 64},
     # Soft-intro VAE pretrain (Soft-intro_VAE/train_vae.py)
     "train_vae": {"module": "train_vae", "preset": "sivae", "iters": 25},
     # end2end with the VAE generator + fake_trans photometric chain
@@ -128,8 +133,22 @@ def run_row(name: str) -> dict:
     mod = importlib.import_module(
         f"semantic_segmentation_tpu.train.{spec['module']}")
     iters = spec["iters"]
+    kwargs = {"train_iters": iters}
+    deviation = None
+    if spec.get("bbdm_channels"):
+        import jax.numpy as jnp
+        from semantic_segmentation_tpu.train.train_bbdm import BBDMModel
+        mc = spec["bbdm_channels"]
+        bbdm = BBDMModel(
+            channels=cfg.model.output_nc, model_channels=mc,
+            accumulate=cfg.optim.accumulate,
+            compute_dtype=jnp.bfloat16
+            if cfg.model.compute_dtype == "bfloat16" else jnp.float32)
+        kwargs["model" if spec["module"] == "train_bbdm" else "bbdm"] = bbdm
+        deviation = (f"model_channels {mc} (template 128: 19.4 GB f32 "
+                     f"state > 16 GB v5e HBM; reference uses A100-40G)")
     t1 = time.time()
-    out = mod.train(cfg, train_iters=iters)
+    out = mod.train(cfg, **kwargs)
     # no explicit sync needed: every trainer's loop pulls metric scalars to
     # host floats for logging, which synchronizes the tunneled device
     wall_train = time.time() - t1
@@ -144,6 +163,7 @@ def run_row(name: str) -> dict:
             math.isfinite(v) for v in losses.values()),
         "wall_train_sec": round(wall_train, 1),
         "device_kind": jax.devices()[0].device_kind,
+        **({"deviation": deviation} if deviation else {}),
     }
 
     if spec.get("sample"):
