@@ -58,8 +58,7 @@ def run_arm(spec: dict) -> dict:
     import numpy as np
 
     from semantic_segmentation_tpu.core.config import parse_config
-    from semantic_segmentation_tpu.train.train_end2end import (
-        build_engine_and_state, train)
+    from semantic_segmentation_tpu.train.train_end2end import train
 
     t0 = time.time()
     cfg = parse_config([], preset="end2end_nas")
@@ -82,11 +81,17 @@ def run_arm(spec: dict) -> dict:
     # Bias the upconv logit table toward the chosen kernel: init is
     # 1e-3*randn (networks.py:476-484), so +BIAS on one column fixes the
     # genotype (softmax weight ~0.76 at B=2) while remaining reachable by
-    # a boosted-lr search.
-    engine, state, p2p, seg = build_engine_and_state(
-        cfg, jax.random.key(cfg.run.seed))
+    # a boosted-lr search. Init runs as one jitted on-device program
+    # (bench.device_init — eager init through the tunnel costs minutes).
+    from bench import device_init
+    from semantic_segmentation_tpu.train.train_end2end import (
+        build_engine, init_engine_state)
+    engine, p2p, seg = build_engine(cfg)
+    state = device_init(
+        lambda k: init_engine_state(cfg, engine, p2p, seg, k),
+        jax.random.key(cfg.run.seed))
     col = KERNELS.index(spec["kernel"])
-    up = np.asarray(jax.device_get(state.arch["upconv"]))
+    up = np.array(jax.device_get(state.arch["upconv"]))  # writable copy
     up[:, col] += BIAS
     arch = dict(state.arch)
     arch["upconv"] = jax.numpy.asarray(up)

@@ -267,11 +267,13 @@ def evaluate_seg(seg: SegProblem, params, stats, data, batch_size, n_classes,
 def train(cfg: Config, train_iters: int | None = None, init_state=None):
     """``init_state``: optional EngineState to start from instead of a fresh
     init — used for warm-starting a NAS search from a chosen genotype
-    (scripts/nas_win_tpu.py) or continuing a trajectory."""
-    engine, state, p2p, seg = build_engine_and_state(
-        cfg, jax.random.key(cfg.run.seed))
-    if init_state is not None:
-        state = init_state
+    (scripts/nas_win_tpu.py) or continuing a trajectory. The fresh init is
+    skipped entirely in that case (it costs minutes through the tunneled
+    TPU backend)."""
+    engine, p2p, seg = build_engine(cfg)
+    state = (init_state if init_state is not None else
+             init_engine_state(cfg, engine, p2p, seg,
+                               jax.random.key(cfg.run.seed)))
     # ISIC scripts validate AND test on Jaccard (train_end2end_isic.py:
     # 60-82, test_isic.py:56-84); the JSRT family scores Dice
     val_metric = "jaccard" if cfg.data.dataset.startswith("isic") else "dice"
